@@ -1,0 +1,286 @@
+"""Index build pipeline — the Spark-native replacement for the reference's
+single-process builder (reference: src/build/mod.rs:43-137).
+
+Reference flow (all in one process): stream (doc, terms) → dict-encode →
+invert into Roaring bitmaps → sort terms → serialize → pack 25 MiB BST
+chunks. Our flow, as declarative Spark stages (three shuffles total):
+
+  docs      corpus → deterministic docID (range-sort, docids.py) → sha256
+            invariant → parquet sorted by doc_id            [shuffle: range]
+  stats     tokenize (JVM split/explode) → N, avgdl, totals [reduce only]
+  terms     groupBy(term) → df, cf, max BM25 tf-weight      [shuffle: term]
+            (the reference computes df and drops it — src/build/mod.rs:62,88;
+            we keep it: it is the BM25 idf input)
+  postings  pairs + salt(doc_id >> shift) → groupBy(term, salt) collect
+            sorted postings → numpy delta+varint block encode (mapInPandas)
+            → parquet range-sorted by (term, salt)          [shuffle: term+salt]
+
+Skew: a plain groupBy(term) would put a hot term's entire posting list in
+one task (the `import`-class problem at 10^12 files). The salt — a docID
+*range* bucket, not a hash — caps every (term, salt) group at 2^salt_shift
+postings AND makes shard merge a pure concatenation (shards never
+interleave), so the final postings table keys on (term, salt) and no second
+merge shuffle is needed at all. Query-time reads all salts of a term (they
+are adjacent in the range-sorted table) and concatenates.
+
+Each stage commits a checkpoint manifest (_manifest/<stage>.json) with
+lineage + row counts + wall time; a rerun skips completed stages (the
+reference's resumable-upload cursor pattern, deployer/cloudflare/src/deploy.ts:10-56,
+generalized to per-stage lineage per the north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator, Sequence
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import encode_postings
+from .docids import assign_doc_ids
+from .tokenizer import tokenize_pairs
+
+STAGES = ("docs", "stats", "terms", "postings")
+
+POSTINGS_SCHEMA = (
+    "term string, salt long, df long, cf long, "
+    "block_max_doc array<long>, block_count array<int>, block_offset array<long>, "
+    "block_max_weight array<float>, payload binary"
+)
+
+
+@dataclass
+class IndexConfig:
+    k1: float = 1.2  # Robertson defaults; the reference defines no override (SURVEY.md §0)
+    b: float = 0.75
+    block_size: int = 128
+    salt_shift: int = 16  # shard = docID range of 2^16 docs (Roaring high-key analogue)
+    num_partitions: int | None = None
+    max_query_terms: int = 50  # reference default, src/main.rs:16
+    max_results: int = 50  # reference default, src/main.rs:15
+    idf: str = "lucene"  # ln(1 + (N-df+0.5)/(df+0.5)) — non-negative variant
+
+
+@dataclass
+class StageMetrics:
+    stage: str
+    rows: int
+    seconds: float
+    extra: dict = field(default_factory=dict)
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "_manifest", f"{stage}.json")
+
+
+def _stage_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(_manifest_path(out_dir, stage))
+
+
+def _commit_stage(out_dir: str, m: StageMetrics, lineage: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    tmp = _manifest_path(out_dir, m.stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({**asdict(m), "lineage": lineage}, f, indent=2)
+    os.replace(tmp, _manifest_path(out_dir, m.stage))  # atomic commit
+
+
+def load_stats(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def idf_value(n_docs: int, df: np.ndarray | int, variant: str = "lucene") -> np.ndarray | float:
+    """BM25 idf. 'lucene': ln(1 + (N - df + 0.5)/(df + 0.5)), always ≥ 0.
+    The reference never scores; this pins the scoring contract for oracles."""
+    if variant != "lucene":
+        raise ValueError(f"unknown idf variant {variant}")
+    return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5)) if not np.isscalar(df) else math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_weight_col(k1: float, b: float, avgdl: float) -> F.Column:
+    """Per-posting BM25 tf-weight w = tf / (tf + k1*(1 - b + b*dl/avgdl)).
+    Score contribution = idf * (k1+1) * w. Pure JVM column expression."""
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    return (F.col("tf").cast("double") / denom).cast("float")
+
+
+def make_encoder(block_size: int):
+    """Return a mapInPandas function encoding (term, salt, postings[]) rows
+    into posting-block rows. ``postings`` is a pre-sorted array<struct> built
+    by the JVM aggregate — the Python side only runs the numpy codec."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "term", "salt", "df", "cf", "block_max_doc", "block_count",
+                "block_offset", "block_max_weight", "payload")}
+            for term, salt, postings in zip(pdf["term"], pdf["salt"], pdf["postings"]):
+                docs = np.fromiter((p["doc_id"] for p in postings), dtype=np.int64, count=len(postings))
+                tfs = np.fromiter((p["tf"] for p in postings), dtype=np.int64, count=len(postings))
+                ws = np.fromiter((p["w"] for p in postings), dtype=np.float32, count=len(postings))
+                pb = encode_postings(docs, tfs, ws, block_size=block_size)
+                cols["term"].append(term)
+                cols["salt"].append(salt)
+                cols["df"].append(len(docs))
+                cols["cf"].append(int(tfs.sum()))
+                cols["block_max_doc"].append(pb.max_doc.tolist())
+                cols["block_count"].append(pb.counts.tolist())
+                cols["block_offset"].append(pb.offsets.tolist())
+                cols["block_max_weight"].append(pb.max_weight.tolist())
+                cols["payload"].append(pb.payload)
+            yield pd.DataFrame(cols)
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    config: IndexConfig | None = None,
+    order_cols: Sequence[str] | None = None,
+    doc_id_col: str | None = None,
+    content_col: str = "content",
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> list[StageMetrics]:
+    """Build the full index at ``out_dir``: docs/, term_stats/, postings/,
+    stats.json, _manifest/. Either ``doc_id_col`` names an existing dense id
+    column, or ``order_cols`` defines the total order for docID assignment
+    (the reference's ranking-baked-into-docID contract, SURVEY.md B4)."""
+    cfg = config or IndexConfig()
+    if (doc_id_col is None) == (order_cols is None):
+        raise ValueError("exactly one of doc_id_col / order_cols required")
+    os.makedirs(out_dir, exist_ok=True)
+    n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
+    metrics: list[StageMetrics] = []
+    docs_path = os.path.join(out_dir, "docs")
+    terms_path = os.path.join(out_dir, "term_stats")
+    postings_path = os.path.join(out_dir, "postings")
+
+    def stage(name: str):
+        return resume and _stage_done(out_dir, name)
+
+    # ---- stage 1: docs store (reference: src/build/mod.rs:124-137) ----
+    if not stage("docs"):
+        t0 = time.monotonic()
+        if doc_id_col is not None:
+            docs = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long")) if doc_id_col != "doc_id" else corpus
+        else:
+            docs = assign_doc_ids(corpus, order_cols, num_partitions=n_part)
+        docs = docs.withColumn("sha256", F.sha2(F.col(content_col), 256))
+        (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(docs_path))
+        n_docs = spark.read.parquet(docs_path).count()
+        dt = time.monotonic() - t0
+        m = StageMetrics("docs", n_docs, dt, {"docs_per_sec": n_docs / dt if dt else None})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": "corpus", "output": docs_path})
+    if stop_after == "docs":
+        return metrics
+
+    docs_df = spark.read.parquet(docs_path)
+    pairs = tokenize_pairs(docs_df, "doc_id", content_col)
+
+    # ---- stage 2: corpus stats (N, avgdl) + doc-length norms ----
+    # dl per doc is the BM25 length norm (Lucene-norms analogue). Stored as
+    # its own tiny table sorted by doc_id; the driver query kernel caches it
+    # as one numpy array, the distributed path joins it.
+    doclens_path = os.path.join(out_dir, "doclens")
+    if not stage("stats"):
+        t0 = time.monotonic()
+        from .tokenizer import _tokens_col
+
+        dl_df = docs_df.select("doc_id", F.size(_tokens_col(content_col)).cast("long").alias("dl"))
+        (dl_df.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(doclens_path))
+        n_docs = docs_df.count()
+        tot = pairs.agg(F.sum("tf").alias("tokens"), F.count(F.lit(1)).alias("postings")).collect()[0]
+        total_tokens = tot["tokens"] or 0
+        total_postings = tot["postings"] or 0
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        stats = {
+            "n_docs": n_docs,
+            "total_tokens": int(total_tokens),
+            "total_postings": int(total_postings),
+            "avgdl": avgdl,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "idf": cfg.idf,
+            "block_size": cfg.block_size,
+            "salt_shift": cfg.salt_shift,
+            "max_query_terms": cfg.max_query_terms,
+            "max_results": cfg.max_results,
+        }
+        tmp = os.path.join(out_dir, "stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=2)
+        os.replace(tmp, os.path.join(out_dir, "stats.json"))
+        dt = time.monotonic() - t0
+        m = StageMetrics("stats", n_docs, dt, stats)
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": ["stats.json", doclens_path]})
+    if stop_after == "stats":
+        return metrics
+
+    stats = load_stats(out_dir)
+    avgdl = stats["avgdl"] or 1.0
+    w_col = tf_weight_col(cfg.k1, cfg.b, avgdl)
+
+    # ---- stage 3: term dictionary / stats (df the reference drops: mod.rs:62,88) ----
+    if not stage("terms"):
+        t0 = time.monotonic()
+        term_stats = (
+            pairs.withColumn("w", w_col)
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max("w").alias("max_weight"),
+            )
+        )
+        (term_stats.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+                   .write.mode("overwrite").parquet(terms_path))
+        n_terms = spark.read.parquet(terms_path).count()
+        dt = time.monotonic() - t0
+        m = StageMetrics("terms", n_terms, dt, {"terms_per_sec": n_terms / dt if dt else None})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": terms_path})
+    if stop_after == "terms":
+        return metrics
+
+    # ---- stage 4: salted posting blocks ----
+    if not stage("postings"):
+        t0 = time.monotonic()
+        salted = (
+            pairs.withColumn("w", w_col)
+            .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
+        )
+        grouped = (
+            salted.groupBy("term", "salt")
+            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "w"))).alias("postings"))
+        )
+        encoded = grouped.mapInPandas(make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
+        (encoded.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+                .write.mode("overwrite").parquet(postings_path))
+        agg = spark.read.parquet(postings_path).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
+            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
+        dt = time.monotonic() - t0
+        m = StageMetrics(
+            "postings", int(agg["rows"]), dt,
+            {"total_postings": int(agg["postings"] or 0), "payload_bytes": int(agg["bytes"] or 0),
+             "postings_per_sec": (agg["postings"] or 0) / dt if dt else None},
+        )
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": postings_path})
+
+    return metrics

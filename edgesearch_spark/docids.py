@@ -1,0 +1,65 @@
+"""Deterministic, scalable docID assignment.
+
+The reference bakes ranking into docID order: corpora are globally sorted by
+a relevance prior before IDs are assigned by stream position
+(demo/wiki/data/processor/src/main.rs:54-56, demo/jobs/data/get-data.js:17-18,
+src/data/documents.rs:25-27). We need the same total order, but a
+``row_number() OVER (ORDER BY ...)`` with no partition key collapses to a
+single partition — a non-starter at 10^12 rows.
+
+Scalable pattern (two cheap passes, no global single-partition stage):
+
+1. ``repartitionByRange`` on the order keys → ordered, disjoint key ranges
+   per partition; ``sortWithinPartitions`` sorts inside each.
+2. Count rows per partition (small aggregate, one row per partition),
+   prefix-sum the counts on the driver → per-partition base offset.
+3. Per-partition rank (``row_number`` partitioned by ``spark_partition_id()``
+   — a *partition-local* window, fully parallel) + base offset = global rank.
+
+The result is invariant to where the range boundaries fall (ranks are
+order-determined, not boundary-determined), so the same input yields the
+same docIDs at any parallelism — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a dense 0-based ``doc_id`` following the total order of ``order_cols``.
+
+    ``order_cols`` must be a unique key (ties would make the order — and hence
+    docIDs — nondeterministic); the caller guarantees this, e.g.
+    (repo, path, commit).
+    """
+    cols = list(order_cols)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pass 1: rows per partition. Range partitions are ordered by pid, so the
+    # prefix sum over pid order is the base offset of each partition.
+    counts = {r["__pid"]: r["cnt"] for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __base long")
+    # Pass 2: partition-local rank (parallel window) + broadcast-joined base
+    # offset. The offsets table has one row per partition — always broadcastable.
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.withColumn("__rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(doc_id_col, (F.col("__base") + F.col("__rk")).cast("long"))
+        .drop("__pid", "__rk", "__base")
+    )

