@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the compressed inverted index over the
+                 sf0.001 documents table, run a BM25 top-k search through
+                 the block-max kernel, join the doc store, return ranked hits.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); implementations in
+                 edgesearch_spark/plans/contract.py.
+oracle_sql()   — DuckDB-equivalent SQL per query (same aliases/rounding).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + block-max BM25 top-k + doc fetch on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.plans.contract import BM25_TERMS, _index_for
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.oracle import Query
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    r = eng.search_bm25(Query.make(require=["table"], contain=BM25_TERMS, k=50))
+    ranked = spark.createDataFrame(
+        [(i, int(d), float(s)) for i, (d, s) in enumerate(zip(r.doc_ids, r.scores))],
+        "rank long, doc_id long, score double",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ranked.join(docs, "doc_id").select("rank", "doc_id", "score", "lang", "source").orderBy("rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from edgesearch_spark.plans.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from edgesearch_spark.plans.contract import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,121 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric: index-build throughput (docs/sec) on the deterministic
+synthetic source-code corpus (FIXTURES.md F1; BASELINE.json metric), plus
+query latencies: the reference-semantics query batch through the
+compressed-index kernel, and representative contract queries at
+$SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_CORPUS_DOCS    synthetic corpus size (default 50_000)
+
+Two-parallelism scaling evidence (BASELINE.md protocol): run this script
+twice with SPARK_GRAFT_CPUS=8 and 32 (separate processes — the JVM caches
+the master) and compare the build docs/sec; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edgesearch_spark.build import IndexConfig, build_index  # noqa: E402
+from edgesearch_spark.corpus import generate_corpus  # noqa: E402
+from edgesearch_spark.engine import SearchEngine  # noqa: E402
+from edgesearch_spark.oracle import Query  # noqa: E402
+from edgesearch_spark.session import get_spark  # noqa: E402
+
+QUERY_BATCH = [
+    ("bool_require_hot", Query.make(require=["import", "return"])),
+    ("bool_require_mixed", Query.make(require=["license", "util_5"])),
+    ("bool_contain", Query.make(contain=["util_3", "helper_7", "struct"])),
+    ("bool_full", Query.make(require=["value"], contain=["util_9"], exclude=["test", "main"])),
+    ("bool_rare", Query.make(require=["uid00000010"])),
+    ("paginate", Query.make(require=["the"], continuation=100, k=50)),
+]
+BM25_BATCH = [
+    ("bm25_hot", Query.make(require=["import"], contain=["data", "value"])),
+    ("bm25_mixed", Query.make(contain=["license", "util_3", "helper_9"])),
+    ("bm25_full", Query.make(require=["the"], contain=["util_1", "util_2"], exclude=["error"])),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "50000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="edgesearch-bench", cores=cpus, shuffle_partitions=cpus)
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: index build throughput on the synthetic corpus ----
+    corpus = generate_corpus(spark, n_corpus, seed=42)
+    corpus.count()  # materialize generator cost outside the build timing? No: include a warm JVM only
+    out = f"/tmp/bench_idx_{cpus}_{n_corpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(spark, corpus, out, IndexConfig(), order_cols=("repo", "path", "commit"), resume=False)
+    build_sec = time.monotonic() - t0
+    docs_per_sec = n_corpus / build_sec
+    queries["index_build"] = round(build_sec, 3)
+
+    # ---- query batch through the kernel (reference semantics + BM25) ----
+    eng = SearchEngine(spark, out)
+    _ = eng.doclens  # warm norms cache
+    lat: list[float] = []
+    for name, q in QUERY_BATCH:
+        t0 = time.monotonic()
+        eng.search(q)
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 4)
+        lat.append(dt)
+    for name, q in BM25_BATCH:
+        t0 = time.monotonic()
+        eng.search_bm25(q)
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 4)
+        lat.append(dt)
+    query_p50 = statistics.median(lat)
+    query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
+
+    # ---- representative contract queries at the sf dir ----
+    from edgesearch_spark.plans.contract import QUERIES
+
+    for name in ("bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1", "dedup_minhash_lsh"):
+        fn = QUERIES[name][0]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_docs_per_sec",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": {
+                    "corpus_docs": n_corpus,
+                    "cores": cpus,
+                    "build_sec": round(build_sec, 2),
+                    "query_p50_sec": round(query_p50, 4),
+                    "query_p95_sec": round(query_p95, 4),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -176,9 +176,12 @@ def build_index(
             docs = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long")) if doc_id_col != "doc_id" else corpus
         else:
             docs = assign_doc_ids(corpus, order_cols, num_partitions=n_part)
+        cache = getattr(docs, "_docid_cache", None)
         docs = docs.withColumn("sha256", F.sha2(F.col(content_col), 256))
         (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(docs_path))
+        if cache is not None:
+            cache.unpersist()
         n_docs = spark.read.parquet(docs_path).count()
         dt = time.monotonic() - t0
         m = StageMetrics("docs", n_docs, dt, {"docs_per_sec": n_docs / dt if dt else None})

@@ -41,10 +41,18 @@ def assign_doc_ids(
     docIDs — nondeterministic); the caller guarantees this, e.g.
     (repo, path, commit).
     """
+    from pyspark import StorageLevel
+
     cols = list(order_cols)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # CRITICAL: persist before the two passes. repartitionByRange samples its
+    # boundaries per *action* (the sampler seed involves the new RDD id), so
+    # without a materialization barrier pass 1's offsets and pass 2's ranks
+    # could come from different partitionings → duplicate/holey docIDs. The
+    # cache pins one partitioning for both passes; the caller unpersists via
+    # the returned frame's `_docid_cache` handle after its terminal action.
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(StorageLevel.MEMORY_AND_DISK)
     # Pass 1: rows per partition. Range partitions are ordered by pid, so the
     # prefix sum over pid order is the base offset of each partition.
     counts = {r["__pid"]: r["cnt"] for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -57,9 +65,11 @@ def assign_doc_ids(
     # Pass 2: partition-local rank (parallel window) + broadcast-joined base
     # offset. The offsets table has one row per partition — always broadcastable.
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    out = (
         with_pid.withColumn("__rk", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "__pid")
         .withColumn(doc_id_col, (F.col("__base") + F.col("__rk")).cast("long"))
         .drop("__pid", "__rk", "__base")
     )
+    out._docid_cache = with_pid  # caller: out._docid_cache.unpersist() when done
+    return out

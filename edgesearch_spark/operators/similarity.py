@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+``cosine_topk`` is the exactness baseline (brute force, fully distributed:
+one narrow pass computing dot products + a top-k). ``lsh_bucket_histogram``
+and ``ann_lsh_topk`` are the scale path: deterministic hyperplane LSH
+restricts the scan to matching buckets, turning 100 TB of vectors into a
+bucket-pruned scan (bucket column is a partition/cluster key at write time).
+
+All arithmetic via JVM higher-order functions (zip_with/aggregate) in
+double precision — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_lit(vec_col: F.Column, qvec: list[float]) -> F.Column:
+    lit_vec = F.array(*[F.lit(float(x)) for x in qvec])
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(vd, lit_vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: F.Column) -> F.Column:
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(F.zip_with(vd, vd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+    (vec_id, cos_sim rounded 4dp), ties broken by vec_id asc."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    df = emb
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
+    cos = _dot_with_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _mix32(a: int, b: int, seed: int) -> int:
+    x = (a * 2654435761 + b * 40503 + seed * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 15
+    x = (x * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 13
+    return x
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (counter-based
+    arithmetic hash — reproducible across runs/partitions, no RNG state)."""
+    return [
+        [(_mix32(p, i, seed) % 2001 - 1000) / 1000.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Bucket id = sign-bit signature of dot products with each plane."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bit = (_dot_with_lit(vec_col, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def lsh_bucket_histogram(
+    emb: DataFrame, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """(bucket, n_vecs) histogram — the data layout an IVF/LSH index writes;
+    also a skew diagnostic for the bucketed join."""
+    dim = dim or len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return (
+        emb.select(lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's bucket or any bucket within ``multiprobe_bits`` bit flips
+    (multi-probe LSH). At scale the bucket filter prunes partitions."""
+    planes = hyperplanes(len(qvec), n_planes, seed)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(qvec, plane))
+        qbits |= (1 if dot > 0 else 0) << p
+    probe = {qbits}
+    if multiprobe_bits >= 1:
+        probe |= {qbits ^ (1 << p) for p in range(n_planes)}
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket").isin([int(x) for x in probe]))
+    return cosine_topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col)

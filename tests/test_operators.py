@@ -1,0 +1,115 @@
+"""Dedup / similarity / text-analysis operator tests on the driver tables
+(sf0.001: 500 docs, 500 embeddings — small enough for exact oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """LSH candidates must cover the high-Jaccard pairs (recall on the
+    planted near-dups); precision is allowed to be < 1 by construction."""
+    from edgesearch_spark.operators.dedup import minhash_lsh_candidates, shingle_jaccard_pairs
+
+    true_pairs = {
+        (r["a"], r["b"])
+        for r in shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    cands = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", n=3, num_hashes=32, band_size=4).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-dups"
+    missed = true_pairs - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_near_dups_close(spark, docs):
+    """Near-dup docs (shingle jaccard ≥ 0.8) must be hamming-close in
+    simhash space; random pairs must not be."""
+    from edgesearch_spark.operators.dedup import shingle_jaccard_pairs, simhash
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [ham(sims[r["a"]], sims[r["b"]]) for r in pairs]
+    assert near and max(near) <= 12, near
+    ids = sorted(sims)
+    far = [ham(sims[ids[i]], sims[ids[i + 250]]) for i in range(0, 200, 20)]
+    assert np.mean(far) > 15, far
+
+
+def test_ann_brute_force_matches_numpy(spark, emb):
+    from edgesearch_spark.operators.similarity import cosine_topk
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[pdf["vec_id"].tolist().index(0)]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    pdf["cos"] = cos
+    want = (
+        pdf[pdf["vec_id"] != 0]
+        .sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(10)["vec_id"]
+        .tolist()
+    )
+    got = [r["vec_id"] for r in cosine_topk(emb, [float(x) for x in q], k=10, exclude_ids=[0]).collect()]
+    assert got == want
+
+
+def test_ann_lsh_topk_subset_of_bruteforce_space(spark, emb):
+    """LSH top-k returns valid cosine scores from the probed buckets and the
+    top-1 from multi-probe should usually equal the exact top-1 at this scale."""
+    from edgesearch_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    pdf = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in pdf["embedding"]]
+    approx = ann_lsh_topk(emb.filter(F.col("vec_id") != 0), q, k=5, n_planes=8, multiprobe_bits=1).collect()
+    assert 1 <= len(approx) <= 5
+    exact = cosine_topk(emb, q, k=50, exclude_ids=[0]).collect()
+    exact_ids = {r["vec_id"] for r in exact}
+    assert any(r["vec_id"] in exact_ids for r in approx)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from edgesearch_spark.operators.multimodal import extract_meta, frame_sample, image_features
+
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")).limit(20)
+    meta = extract_meta(payloads, "doc_id", "payload").collect()
+    assert len(meta) == 20 and all(r["feature"] == r["n_bytes"] % 251 for r in meta)
+    feats = image_features(payloads, "doc_id", "payload", fake=True).collect()
+    assert len(feats) == 20 and all(r["channels"] == 3 for r in feats)
+    frames = frame_sample(payloads, "doc_id", "payload", every_n_bytes=64).collect()
+    assert len(frames) >= 20 and all(len(r["frame_bytes"]) <= 64 for r in frames)
+
+    from edgesearch_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert rows[0]["rank"] == 0
+    assert [f.name for f in df.schema.fields] == ["rank", "doc_id", "score", "lang", "source"]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
