@@ -230,6 +230,46 @@ class SearchEngine:
         return SearchResult(int(cands.size), cont, page.tolist(),
                             ranked_scores[lo : lo + page.size].tolist())
 
+    def search_bm25_wand(self, q: Query, exact_total: bool = True) -> SearchResult:
+        """BM25 top-k via the block-max WAND/MaxScore kernel (wand.py) —
+        rank-identical to search_bm25, pruned. Applies to the disjunctive
+        case (contain-only); require/exclude queries already prune through
+        the candidate-set path and fall back to it.
+
+        exact_total=False skips the union-cardinality pass (total = -1) —
+        the latency-optimal mode when callers only need the page."""
+        if q.require or q.exclude or not q.contain:
+            return self.search_bm25(q)
+        n_terms = len(q.contain)
+        if n_terms > self.max_query_terms:
+            raise QueryTooLarge(n_terms)
+        tp = self.fetch_terms(list(q.contain))
+        present = [p for p in tp.values() if p is not None]
+        if not present:
+            return self._default_results(q)
+        from .wand import wand_topk
+
+        k_eff = q.continuation + q.k
+        res = wand_topk(
+            [(self.idf(p.df), p) for p in present],
+            k_eff,
+            self.doclens,
+            self.k1,
+            self.b,
+            self.avgdl,
+        )
+        if exact_total:
+            total = int(np.unique(np.concatenate([decode_all_docs(p.blocks) for p in present])).size)
+        else:
+            total = -1
+        if q.continuation >= res.doc_ids.size:
+            return SearchResult(total, None, [], [])
+        page = res.doc_ids[q.continuation : k_eff]
+        scores = res.scores[q.continuation : k_eff]
+        last = q.continuation + page.size - 1
+        cont = None if (total >= 0 and last == total - 1) or page.size < q.k else last + 1
+        return SearchResult(total, cont, page.tolist(), scores.tolist())
+
     # ---- doc fetch (reference Q15: join result IDs to the docs store) ----
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         ids_df = self.spark.createDataFrame([(int(d),) for d in doc_ids] or [(None,)], "doc_id long")
