@@ -47,7 +47,7 @@ from .codec import encode_postings
 from .docids import assign_doc_ids
 from .tokenizer import tokenize_pairs
 
-STAGES = ("docs", "stats", "terms", "postings")
+STAGES = ("docs", "stats", "postings", "terms")
 
 POSTINGS_SCHEMA = (
     "term string, salt long, df long, cf long, "
@@ -113,19 +113,21 @@ def tf_weight_col(k1: float, b: float, avgdl: float) -> F.Column:
 
 
 def make_encoder(block_size: int):
-    """Return a mapInPandas function encoding (term, salt, postings[]) rows
-    into posting-block rows. ``postings`` is a pre-sorted array<struct> built
-    by the JVM aggregate — the Python side only runs the numpy codec."""
+    """Return a mapInPandas function encoding (term, salt, doc_ids[], tfs[],
+    ws[]) rows into posting-block rows. The arrays arrive as primitive Arrow
+    lists (field extraction happened JVM-side), so each cell is already a
+    numpy array — the Python side only runs the vectorized codec, never
+    iterating per posting."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {k: [] for k in (
                 "term", "salt", "df", "cf", "block_max_doc", "block_count",
                 "block_offset", "block_max_weight", "payload")}
-            for term, salt, postings in zip(pdf["term"], pdf["salt"], pdf["postings"]):
-                docs = np.fromiter((p["doc_id"] for p in postings), dtype=np.int64, count=len(postings))
-                tfs = np.fromiter((p["tf"] for p in postings), dtype=np.int64, count=len(postings))
-                ws = np.fromiter((p["w"] for p in postings), dtype=np.float32, count=len(postings))
+            for term, salt, d, t, w in zip(pdf["term"], pdf["salt"], pdf["doc_ids"], pdf["tfs"], pdf["ws"]):
+                docs = np.asarray(d, dtype=np.int64)
+                tfs = np.asarray(t, dtype=np.int64)
+                ws = np.asarray(w, dtype=np.float32)
                 pb = encode_postings(docs, tfs, ws, block_size=block_size)
                 cols["term"].append(term)
                 cols["salt"].append(salt)
@@ -178,8 +180,16 @@ def build_index(
             docs = assign_doc_ids(corpus, order_cols, num_partitions=n_part)
         cache = getattr(docs, "_docid_cache", None)
         docs = docs.withColumn("sha256", F.sha2(F.col(content_col), 256))
-        (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
-             .write.mode("overwrite").parquet(docs_path))
+        if order_cols is not None:
+            # assign_doc_ids output is already range-partitioned in docID
+            # order (docIDs follow the range sort), so a repartitionByRange
+            # here would only re-shuffle data that is already laid out right
+            # (plus pay an extra boundary-sampling pass). Sort within
+            # partitions and write.
+            docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(docs_path)
+        else:
+            (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
+                 .write.mode("overwrite").parquet(docs_path))
         if cache is not None:
             cache.unpersist()
         n_docs = spark.read.parquet(docs_path).count()
@@ -196,24 +206,26 @@ def build_index(
     # ---- stage 2: corpus stats (N, avgdl) + doc-length norms ----
     # dl per doc is the BM25 length norm (Lucene-norms analogue). Stored as
     # its own tiny table sorted by doc_id; the driver query kernel caches it
-    # as one numpy array, the distributed path joins it.
+    # as one numpy array, the distributed path joins it. One tokenize pass:
+    # N, total tokens and avgdl all come from the doclens read-back, so this
+    # stage never shuffles the exploded pairs.
     doclens_path = os.path.join(out_dir, "doclens")
     if not stage("stats"):
         t0 = time.monotonic()
         from .tokenizer import _tokens_col
 
+        # the docs parquet is range-sorted by doc_id, so the narrow map
+        # below inherits that order — write without reshuffling
         dl_df = docs_df.select("doc_id", F.size(_tokens_col(content_col)).cast("long").alias("dl"))
-        (dl_df.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
-              .write.mode("overwrite").parquet(doclens_path))
-        n_docs = docs_df.count()
-        tot = pairs.agg(F.sum("tf").alias("tokens"), F.count(F.lit(1)).alias("postings")).collect()[0]
-        total_tokens = tot["tokens"] or 0
-        total_postings = tot["postings"] or 0
+        dl_df.write.mode("overwrite").parquet(doclens_path)
+        tot = spark.read.parquet(doclens_path).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens")).collect()[0]
+        n_docs = int(tot["n"] or 0)
+        total_tokens = int(tot["tokens"] or 0)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
         stats = {
             "n_docs": n_docs,
-            "total_tokens": int(total_tokens),
-            "total_postings": int(total_postings),
+            "total_tokens": total_tokens,
             "avgdl": avgdl,
             "k1": cfg.k1,
             "b": cfg.b,
@@ -238,29 +250,7 @@ def build_index(
     avgdl = stats["avgdl"] or 1.0
     w_col = tf_weight_col(cfg.k1, cfg.b, avgdl)
 
-    # ---- stage 3: term dictionary / stats (df the reference drops: mod.rs:62,88) ----
-    if not stage("terms"):
-        t0 = time.monotonic()
-        term_stats = (
-            pairs.withColumn("w", w_col)
-            .groupBy("term")
-            .agg(
-                F.count(F.lit(1)).alias("df"),
-                F.sum("tf").alias("cf"),
-                F.max("w").alias("max_weight"),
-            )
-        )
-        (term_stats.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-                   .write.mode("overwrite").parquet(terms_path))
-        n_terms = spark.read.parquet(terms_path).count()
-        dt = time.monotonic() - t0
-        m = StageMetrics("terms", n_terms, dt, {"terms_per_sec": n_terms / dt if dt else None})
-        metrics.append(m)
-        _commit_stage(out_dir, m, {"input": docs_path, "output": terms_path})
-    if stop_after == "terms":
-        return metrics
-
-    # ---- stage 4: salted posting blocks ----
+    # ---- stage 3: salted posting blocks ----
     if not stage("postings"):
         t0 = time.monotonic()
         salted = (
@@ -269,7 +259,15 @@ def build_index(
         )
         grouped = (
             salted.groupBy("term", "salt")
-            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "w"))).alias("postings"))
+            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "w"))).alias("ps"))
+            .select(
+                "term",
+                "salt",
+                # unzip JVM-side so Arrow ships primitive arrays, not structs
+                F.transform("ps", lambda x: x["doc_id"]).alias("doc_ids"),
+                F.transform("ps", lambda x: x["tf"]).alias("tfs"),
+                F.transform("ps", lambda x: x["w"]).alias("ws"),
+            )
         )
         encoded = grouped.mapInPandas(make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
         (encoded.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
@@ -285,5 +283,31 @@ def build_index(
         )
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": docs_path, "output": postings_path})
+    if stop_after == "postings":
+        return metrics
+
+    # ---- stage 4: term dictionary / stats (df the reference drops: mod.rs:62,88) ----
+    # Derived from the postings table, not from re-tokenized pairs: per-term
+    # df/cf are sums over salt shards and max_weight is the max of the stored
+    # block maxima — a reduce over the (small) postings table instead of a
+    # second full shuffle of every (doc, term) pair.
+    if not stage("terms"):
+        t0 = time.monotonic()
+        post_df = spark.read.parquet(postings_path)
+        term_stats = (
+            post_df.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max(F.array_max("block_max_weight")).alias("max_weight"),
+            )
+        )
+        (term_stats.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+                   .write.mode("overwrite").parquet(terms_path))
+        n_terms = spark.read.parquet(terms_path).count()
+        dt = time.monotonic() - t0
+        m = StageMetrics("terms", n_terms, dt, {"terms_per_sec": n_terms / dt if dt else None})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": postings_path, "output": terms_path})
 
     return metrics
