@@ -119,26 +119,27 @@ def make_encoder(block_size: int):
     numpy array — the Python side only runs the vectorized codec, never
     iterating per posting."""
 
+    from .codec import encode_postings_batch
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {k: [] for k in (
-                "term", "salt", "df", "cf", "block_max_doc", "block_count",
-                "block_offset", "block_max_weight", "payload")}
-            for term, salt, d, t, w in zip(pdf["term"], pdf["salt"], pdf["doc_ids"], pdf["tfs"], pdf["ws"]):
-                docs = np.asarray(d, dtype=np.int64)
-                tfs = np.asarray(t, dtype=np.int64)
-                ws = np.asarray(w, dtype=np.float32)
-                pb = encode_postings(docs, tfs, ws, block_size=block_size)
-                cols["term"].append(term)
-                cols["salt"].append(salt)
-                cols["df"].append(len(docs))
-                cols["cf"].append(int(tfs.sum()))
-                cols["block_max_doc"].append(pb.max_doc.tolist())
-                cols["block_count"].append(pb.counts.tolist())
-                cols["block_offset"].append(pb.offsets.tolist())
-                cols["block_max_weight"].append(pb.max_weight.tolist())
-                cols["payload"].append(pb.payload)
-            yield pd.DataFrame(cols)
+            docs_list = [np.asarray(d, dtype=np.int64) for d in pdf["doc_ids"]]
+            tfs_list = [np.asarray(t, dtype=np.int64) for t in pdf["tfs"]]
+            ws_list = [np.asarray(w, dtype=np.float32) for w in pdf["ws"]]
+            pbs = encode_postings_batch(docs_list, tfs_list, ws_list, block_size=block_size)
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"].to_numpy(),
+                    "salt": pdf["salt"].to_numpy(),
+                    "df": np.fromiter((d.size for d in docs_list), dtype=np.int64, count=len(docs_list)),
+                    "cf": np.fromiter((int(t.sum()) for t in tfs_list), dtype=np.int64, count=len(tfs_list)),
+                    "block_max_doc": [pb.max_doc for pb in pbs],
+                    "block_count": [pb.counts for pb in pbs],
+                    "block_offset": [pb.offsets for pb in pbs],
+                    "block_max_weight": [pb.max_weight for pb in pbs],
+                    "payload": [pb.payload for pb in pbs],
+                }
+            )
 
     return encode
 
@@ -180,16 +181,14 @@ def build_index(
             docs = assign_doc_ids(corpus, order_cols, num_partitions=n_part)
         cache = getattr(docs, "_docid_cache", None)
         docs = docs.withColumn("sha256", F.sha2(F.col(content_col), 256))
-        if order_cols is not None:
-            # assign_doc_ids output is already range-partitioned in docID
-            # order (docIDs follow the range sort), so a repartitionByRange
-            # here would only re-shuffle data that is already laid out right
-            # (plus pay an extra boundary-sampling pass). Sort within
-            # partitions and write.
-            docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(docs_path)
-        else:
-            (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
-                 .write.mode("overwrite").parquet(docs_path))
+        # Explicit range repartition: AQE would otherwise coalesce the docID
+        # window exchange down to a handful of partitions on small inputs,
+        # and every later stage that scans docs would inherit that starved
+        # parallelism (measured: 6 of 32 cores busy in tokenize). The
+        # explicit N is respected by AQE and guarantees n_part range-sorted
+        # files.
+        (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(docs_path))
         if cache is not None:
             cache.unpersist()
         n_docs = spark.read.parquet(docs_path).count()
@@ -269,9 +268,16 @@ def build_index(
                 F.transform("ps", lambda x: x["w"]).alias("ws"),
             )
         )
+        from pyspark import StorageLevel
+
         encoded = grouped.mapInPandas(make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
+        # persist before the range write: repartitionByRange's boundary-
+        # sampling pass would otherwise re-run the whole tokenize→shuffle→
+        # encode pipeline a second time
+        encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
         (encoded.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
                 .write.mode("overwrite").parquet(postings_path))
+        encoded.unpersist()
         agg = spark.read.parquet(postings_path).agg(
             F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
             F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]

@@ -189,6 +189,100 @@ def concat_blocks(parts: list[PostingBlocks]) -> PostingBlocks:
     )
 
 
+def encode_postings_batch(
+    doc_ids_list: list[np.ndarray],
+    tfs_list: list[np.ndarray],
+    ws_list: list[np.ndarray],
+    block_size: int = BLOCK_SIZE,
+) -> list[PostingBlocks]:
+    """Encode MANY posting lists in one vectorized pass — byte-identical to
+    per-row ``encode_postings`` (property-tested), but the varint encode and
+    all block metadata run over the concatenation of every row's stream, so
+    per-row Python overhead vanishes (matters: at 10^5+ rare terms per Arrow
+    batch, per-row encode is ~100× slower)."""
+    n_rows = len(doc_ids_list)
+    if n_rows == 0:
+        return []
+    row_len = np.fromiter((len(d) for d in doc_ids_list), dtype=np.int64, count=n_rows)
+    empty = encode_postings(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float32))
+    if row_len.sum() == 0:
+        return [empty] * n_rows
+    nonzero = row_len > 0
+    docs_flat = np.concatenate([np.ascontiguousarray(d, np.int64) for d, m in zip(doc_ids_list, nonzero) if m])
+    tfs_flat = np.concatenate([np.ascontiguousarray(t, np.int64) for t, m in zip(tfs_list, nonzero) if m])
+    ws_flat = np.concatenate([np.ascontiguousarray(w, np.float32) for w, m in zip(ws_list, nonzero) if m])
+    nz_len = row_len[nonzero]
+    row_start = np.concatenate([[0], np.cumsum(nz_len)[:-1]])
+    n = docs_flat.size
+    row_head = np.zeros(n, dtype=bool)
+    row_head[row_start] = True
+    if n > 1 and ((docs_flat[1:] <= docs_flat[:-1]) & ~row_head[1:]).any():
+        raise ValueError("doc_ids must be strictly increasing within each row")
+
+    # per-row block structure
+    blocks_per_row = (nz_len + block_size - 1) // block_size
+    n_blocks = int(blocks_per_row.sum())
+    # global block starts: for each row, row_start + j*block_size
+    brow = np.repeat(np.arange(nz_len.size), blocks_per_row)  # owning row per block
+    j_in_row = np.arange(n_blocks) - np.repeat(np.concatenate([[0], np.cumsum(blocks_per_row)[:-1]]), blocks_per_row)
+    block_start = row_start[brow] + j_in_row * block_size
+    block_end = np.minimum(block_start + block_size, row_start[brow] + nz_len[brow])
+    counts = (block_end - block_start).astype(np.int32)
+    max_doc = docs_flat[block_end - 1]
+    max_w = np.maximum.reduceat(ws_flat, block_start)
+
+    # value stream: per block, [first_doc, delta-1 ...] then [tf-1 ...]
+    deltas = np.empty(n, dtype=_U64)
+    deltas[0] = docs_flat[0]
+    deltas[1:] = (docs_flat[1:] - docs_flat[:-1] - 1).astype(_U64)
+    deltas[block_start] = docs_flat[block_start].astype(_U64)  # absolute at block head
+    pid_block = np.repeat(np.arange(n_blocks), counts)  # owning block per posting
+    off_in_block = np.arange(n) - block_start[pid_block]
+    stream_base = 2 * block_start  # each block occupies 2*count slots starting at 2*block_start
+    stream = np.empty(2 * n, dtype=_U64)
+    stream[stream_base[pid_block] + off_in_block] = deltas
+    stream[stream_base[pid_block] + counts[pid_block] + off_in_block] = (tfs_flat - 1).astype(_U64)
+
+    payload_all = encode_varint(stream)
+    # byte length per value (recomputed vectorized, same rule as encode_varint)
+    v = stream
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    val_end = np.cumsum(nbytes)
+    # block byte extents: values of block b are stream[2*bs .. 2*bs+2*count)
+    blk_val_start = stream_base
+    blk_val_end = stream_base + 2 * counts.astype(np.int64)
+    blk_byte_start = np.where(blk_val_start > 0, val_end[blk_val_start - 1], 0)
+    blk_byte_end = val_end[blk_val_end - 1]
+
+    # slice per row
+    out: list[PostingBlocks] = []
+    row_block_start = np.concatenate([[0], np.cumsum(blocks_per_row)]).astype(np.int64)
+    nz_iter = 0
+    payload_mv = memoryview(payload_all)
+    for i in range(n_rows):
+        if not nonzero[i]:
+            out.append(empty)
+            continue
+        b0, b1 = row_block_start[nz_iter], row_block_start[nz_iter + 1]
+        base = blk_byte_start[b0]
+        offsets = np.empty(b1 - b0 + 1, dtype=np.int64)
+        offsets[:-1] = blk_byte_start[b0:b1] - base
+        offsets[-1] = blk_byte_end[b1 - 1] - base
+        out.append(
+            PostingBlocks(
+                max_doc=max_doc[b0:b1].copy(),
+                counts=counts[b0:b1].copy(),
+                offsets=offsets,
+                max_weight=max_w[b0:b1].astype(np.float32),
+                payload=bytes(payload_mv[base : blk_byte_end[b1 - 1]]),
+            )
+        )
+        nz_iter += 1
+    return out
+
+
 def _first_doc(pb: PostingBlocks) -> int:
     raw = np.frombuffer(pb.payload, dtype=np.uint8, count=int(pb.offsets[1] - pb.offsets[0]), offset=0)
     return int(decode_varint(raw, count=1)[0])

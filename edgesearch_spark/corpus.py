@@ -10,7 +10,7 @@ two-parallelism scaling benchmark and for docID-determinism tests).
 Term distribution is engineered for the skew the north rule targets:
   * hot keywords per language (`import`, `def`, `public`, …) + corpus-wide
     hots (`license`, `copyright`, `the`) — zipf-weighted, df ≈ N;
-  * mid-frequency identifiers (`util_123`, `helper_42`) — thousands of docs;
+  * mid-frequency identifiers (`util123`, `helper42`) — thousands of docs;
   * one unique identifier per doc (`uid<hex>`) — guaranteed singleton terms.
 
 No RNG objects: token choice = searchsorted over a zipf CDF of a 32-bit
@@ -35,7 +35,7 @@ _KEYWORDS = {
     "c": ["include", "int", "void", "return", "static", "struct", "char", "const", "sizeof", "define"],
 }
 _COMMON = ["license", "copyright", "the", "value", "data", "result", "error", "test", "main", "utils"]
-_MID = [f"util_{k}" for k in range(200)] + [f"helper_{k}" for k in range(100)]
+_MID = [f"util{k}" for k in range(200)] + [f"helper{k}" for k in range(100)]
 
 _SEPS = np.array([" ", " ", " ", "(", ".", ", ", "\n", " = "], dtype=object)
 

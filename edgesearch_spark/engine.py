@@ -131,7 +131,13 @@ class SearchEngine:
                 if t not in by_term:
                     self._cache[t] = None
                     continue
-                shards = sorted(by_term[t], key=lambda r: r["salt"])
+                # order shards by (salt, first-block max): multi-segment
+                # indexes can split one salt bucket across segments with
+                # disjoint docID ranges — the secondary key orders those
+                shards = sorted(
+                    by_term[t],
+                    key=lambda r: (r["salt"], r["block_max_doc"][0] if r["block_max_doc"] else -1),
+                )
                 pb = concat_blocks([_row_to_blocks(r) for r in shards])
                 st = srows.get(t)
                 self._cache[t] = TermPostings(

@@ -1,0 +1,124 @@
+"""Batch query execution: a whole table of queries against the index as ONE
+DataFrame plan — the cluster-scale query mode (the reference's worker
+answers one query per HTTP request; at 10^12 docs you also need "join a
+million queries against the postings table once").
+
+Semantics per query mirror the reference normal path exactly
+(wasm/index.c:76-104 + the missing-term rules of script/src/main.ts:368-376):
+
+  * require: doc must hit ALL require terms — a missing (never-indexed)
+    require term makes the count unreachable ⇒ zero results, automatically;
+  * contain: doc must hit ≥1 of the *existing* contain terms (missing ones
+    are dropped via the term_stats broadcast join) — queries with no
+    existing contain term skip the clause;
+  * exclude: doc must hit none of the exclude terms;
+  * exclude-only queries (no require, no existing contain): the excluded
+    union IS the result (the reference quirk);
+  * queries with no effective terms at all (the default-results page) are
+    NOT answered here — the caller routes them to the docs table directly
+    (engine default path); flagged in the output as matched=false rows? No:
+    they simply produce no rows, callers check `effective` on the side.
+
+BM25 scores use the same formula as the kernel; ranks are
+(score desc, doc_id asc) per query via a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..build import load_stats
+from ..sources.postings import decoded_postings, doclens_table, term_stats_table
+
+QUERIES_SCHEMA = "query_id string, require array<string>, contain array<string>, exclude array<string>"
+
+
+def _mode_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term, mode) — one row per (query, term, mode)."""
+    parts = []
+    for mode, col in (("r", "require"), ("c", "contain"), ("e", "exclude")):
+        parts.append(
+            queries.select("query_id", F.explode_outer(F.array_distinct(col)).alias("term"))
+            .filter(F.col("term").isNotNull())
+            .withColumn("mode", F.lit(mode))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def batch_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 50,
+    scored: bool = True,
+) -> DataFrame:
+    """→ (query_id, rank, doc_id, score): top-k per query.
+
+    Plan shape: queries' term lists are tiny → broadcast them against the
+    decoded postings (scan pruned to the union of query terms); per-
+    (query_id, doc_id) aggregation evaluates the boolean clauses; BM25 via
+    broadcast term idf + doclens join; window top-k per query."""
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
+    k1, b = stats["k1"], stats["b"]
+
+    qt = _mode_terms(queries)
+    all_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+
+    ts = term_stats_table(spark, index_dir).filter(F.col("term").isin(all_terms))
+    # drop missing contain terms (reference rule) while keeping missing
+    # require terms "required" (they make the query unsatisfiable)
+    qt = qt.join(F.broadcast(ts.select("term", "df")), "term", "left")
+    qt = qt.filter(~((F.col("mode") == "c") & F.col("df").isNull()))
+
+    # per-query clause cardinalities (computed after dropping missing contains)
+    clause = qt.groupBy("query_id").agg(
+        F.sum(F.when(F.col("mode") == "r", 1).otherwise(0)).alias("n_req"),
+        F.sum(F.when(F.col("mode") == "c", 1).otherwise(0)).alias("n_con"),
+        F.sum(F.when((F.col("mode") == "e") & F.col("df").isNotNull(), 1).otherwise(0)).alias("n_exc"),
+    )
+
+    posts = decoded_postings(spark, index_dir, terms=all_terms)
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    hits = posts.join(F.broadcast(qt.select("query_id", "term", "mode", "df")), "term")
+
+    dl = doclens_table(spark, index_dir)
+    hits = hits.join(dl, "doc_id")
+    w = F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    hits = hits.withColumn("partial", F.when(F.col("mode").isin("r", "c"), idf * w).otherwise(F.lit(0.0)))
+
+    per_doc = hits.groupBy("query_id", "doc_id").agg(
+        F.countDistinct(F.when(F.col("mode") == "r", F.col("term"))).alias("req_hit"),
+        F.max((F.col("mode") == "c").cast("int")).alias("con_hit"),
+        F.max((F.col("mode") == "e").cast("int")).alias("exc_hit"),
+        F.sum("partial").alias("score"),
+    )
+
+    matched = (
+        per_doc.join(F.broadcast(clause), "query_id")
+        .filter(
+            (
+                # normal path: all requires hit, a contain hit if any exist, no exclude hit
+                (F.col("req_hit") == F.col("n_req"))
+                & ((F.col("n_con") == 0) | (F.col("con_hit") == 1))
+                & (F.col("exc_hit") == 0)
+                & ((F.col("n_req") + F.col("n_con")) > 0)
+            )
+            | (
+                # exclude-only quirk: the excluded union becomes the result
+                (F.col("n_req") == 0) & (F.col("n_con") == 0) & (F.col("exc_hit") == 1)
+            )
+        )
+    )
+
+    order = (F.col("score").desc(), F.col("doc_id").asc()) if scored else (F.col("doc_id").asc(),)
+    win = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        matched.withColumn("rank", F.row_number().over(win) - 1)
+        .filter(F.col("rank") < k)
+        .select("query_id", "rank", "doc_id", F.round(F.col("score"), 6).alias("score"))
+    )

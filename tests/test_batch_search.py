@@ -1,0 +1,67 @@
+"""Batch query plan (plans/batch.py) vs the brute-force oracle: the whole
+query table answered in one DataFrame plan must agree with per-query
+reference semantics + BM25 ranking."""
+
+import numpy as np
+import pytest
+
+from edgesearch_spark.build import IndexConfig, build_index
+from edgesearch_spark.corpus import generate_corpus, generate_corpus_pandas
+from edgesearch_spark.oracle import BruteForceOracle, Query
+from edgesearch_spark.plans.batch import batch_search
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("batchidx"))
+    build_index(spark, generate_corpus(spark, N, seed=21), out,
+                IndexConfig(block_size=16, salt_shift=6), order_cols=("repo", "path", "commit"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = generate_corpus_pandas(N, seed=21).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    return BruteForceOracle(list(zip(range(len(pdf)), pdf["content"])))
+
+
+BATCH = {
+    "q_req": dict(require=["import", "return"]),
+    "q_req_rare": dict(require=["license", "util5"]),
+    "q_con": dict(contain=["util3", "helper7", "struct"]),
+    "q_mix": dict(require=["value"], contain=["util9"], exclude=["test", "main"]),
+    "q_missing_req": dict(require=["zzz_nope", "import"]),
+    "q_missing_con": dict(require=["import"], contain=["zzz_nope", "util1"]),
+    "q_excl_only": dict(exclude=["license"]),
+    "q_missing_exc": dict(require=["import"], exclude=["zzz_nope"]),
+}
+
+
+def test_batch_matches_oracle(spark, index_dir, oracle):
+    rows = [
+        (qid, list(spec.get("require", [])), list(spec.get("contain", [])), list(spec.get("exclude", [])))
+        for qid, spec in BATCH.items()
+    ]
+    qdf = spark.createDataFrame(rows, "query_id string, require array<string>, contain array<string>, exclude array<string>")
+    got = batch_search(spark, index_dir, qdf, k=20, scored=True).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, spec in BATCH.items():
+        want = oracle.search_bm25(Query.make(k=20, **spec))
+        got_docs = [r["doc_id"] for r in by_q.get(qid, [])]
+        assert got_docs == want.doc_ids, (qid, got_docs, want.doc_ids)
+        got_scores = [r["score"] for r in by_q.get(qid, [])]
+        assert np.allclose(got_scores, [round(s, 6) for s in want.scores], atol=1e-6), qid
+
+
+def test_batch_boolean_mode(spark, index_dir, oracle):
+    qdf = spark.createDataFrame(
+        [("b1", ["import"], [], ["error"])],
+        "query_id string, require array<string>, contain array<string>, exclude array<string>",
+    )
+    got = [r["doc_id"] for r in batch_search(spark, index_dir, qdf, k=30, scored=False).orderBy("rank").collect()]
+    want = oracle.search(Query.make(require=["import"], exclude=["error"], k=30))
+    assert got == want.doc_ids

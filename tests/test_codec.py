@@ -103,3 +103,37 @@ def test_postings_roundtrip_property(docs, bs):
     d, t = decode_all(pb)
     assert d.tolist() == docs
     assert t.tolist() == tfs
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=300, unique=True),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=30, deadline=None)
+def test_batch_encoder_identical_to_per_row(rows, bs):
+    from edgesearch_spark.codec import encode_postings_batch
+
+    docs_list = [np.array(sorted(r), dtype=np.int64) for r in rows]
+    tfs_list = [(d % 17 + 1).astype(np.int64) for d in docs_list]
+    ws_list = [((d % 7 + 1) / 10.0).astype(np.float32) for d in docs_list]
+    batch = encode_postings_batch(docs_list, tfs_list, ws_list, block_size=bs)
+    for d, t, w, pb in zip(docs_list, tfs_list, ws_list, batch):
+        ref = encode_postings(d, t, w, block_size=bs)
+        assert pb.payload == ref.payload
+        assert pb.max_doc.tolist() == ref.max_doc.tolist()
+        assert pb.counts.tolist() == ref.counts.tolist()
+        assert pb.offsets.tolist() == ref.offsets.tolist()
+        assert pb.max_weight.tolist() == pytest.approx(ref.max_weight.tolist())
+
+
+def test_batch_encoder_rejects_unsorted_rows():
+    from edgesearch_spark.codec import encode_postings_batch
+
+    with pytest.raises(ValueError):
+        encode_postings_batch(
+            [np.array([5, 3], np.int64)], [np.array([1, 1], np.int64)], [np.zeros(2, np.float32)]
+        )

@@ -45,11 +45,11 @@ def engine(spark, index_dir):
 QUERIES = [
     Query.make(require=["import"]),
     Query.make(require=["import", "return"]),
-    Query.make(require=["license", "util_5"]),
-    Query.make(contain=["util_3", "helper_7", "struct"]),
-    Query.make(require=["the"], contain=["util_1", "util_2"]),
+    Query.make(require=["license", "util5"]),
+    Query.make(contain=["util3", "helper7", "struct"]),
+    Query.make(require=["the"], contain=["util1", "util2"]),
     Query.make(require=["data"], exclude=["error"]),
-    Query.make(require=["value"], contain=["util_9"], exclude=["test", "main"]),
+    Query.make(require=["value"], contain=["util9"], exclude=["test", "main"]),
     Query.make(require=["zzz_missing"]),  # missing REQUIRE → empty
     Query.make(require=["import"], contain=["zzz_missing"]),  # missing CONTAIN dropped
     Query.make(require=["import"], exclude=["zzz_missing"]),  # missing EXCLUDE dropped

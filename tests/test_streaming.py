@@ -1,0 +1,111 @@
+"""Structured-Streaming incremental indexing: a corpus streamed in
+micro-batches must yield the same query results as a single-shot build."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from edgesearch_spark.build import IndexConfig, build_index
+from edgesearch_spark.corpus import CORPUS_SCHEMA, generate_corpus
+from edgesearch_spark.engine import SearchEngine
+from edgesearch_spark.oracle import Query
+from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+N = 450
+CFG = IndexConfig(block_size=16, salt_shift=5)
+
+QUERIES = [
+    Query.make(require=["import", "return"], k=20),
+    Query.make(require=["license"], contain=["util3"], exclude=["error"], k=20),
+    Query.make(contain=["util1", "helper2", "the"], k=15),
+    Query.make(exclude=["license"]),
+    Query.make(),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_parts(spark, tmp_path_factory):
+    """The corpus split into 3 parquet drops (ordered slices of the global
+    (repo,path,commit) order so docIDs line up with the single-shot build)."""
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    full = generate_corpus(spark, N, seed=17).orderBy("repo", "path", "commit").collect()
+    for i, lo in enumerate(range(0, N, 150)):
+        part = spark.createDataFrame(full[lo : lo + 150], CORPUS_SCHEMA)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/drop_{i}")
+    return src
+
+
+def test_stream_equals_single_shot(spark, corpus_parts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inc_idx"))
+    single = str(tmp_path_factory.mktemp("single_idx"))
+
+    indexer = IncrementalIndexer(spark, root, CFG)
+    for epoch in range(3):
+        batch = spark.read.parquet(f"{corpus_parts}/drop_{epoch}")
+        indexer.ingest_batch(batch, epoch)
+    assert indexer.manifest()["next_doc_id"] == N
+
+    build_index(spark, generate_corpus(spark, N, seed=17), single, CFG,
+                order_cols=("repo", "path", "commit"))
+
+    multi = indexer.engine()
+    ref = SearchEngine(spark, single)
+    for q in QUERIES:
+        a, b = multi.search(q), ref.search(q)
+        assert (a.total, a.continuation, list(a.doc_ids)) == (b.total, b.continuation, list(b.doc_ids)), q
+        sa, sb = multi.search_bm25(q), ref.search_bm25(q)
+        assert list(sa.doc_ids) == list(sb.doc_ids), q
+        assert np.allclose(sa.scores, sb.scores, atol=1e-9), q
+
+
+def test_ingest_idempotent_per_epoch(spark, corpus_parts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idem_idx"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    batch = spark.read.parquet(f"{corpus_parts}/drop_0")
+    indexer.ingest_batch(batch, 0)
+    n1 = indexer.manifest()["next_doc_id"]
+    indexer.ingest_batch(batch, 0)  # foreachBatch retry
+    assert indexer.manifest()["next_doc_id"] == n1
+    assert indexer.manifest()["segments"] == ["seg_000000"]
+
+
+def test_real_stream_via_foreachbatch(spark, corpus_parts, tmp_path_factory):
+    """Drive the actual writeStream → foreachBatch path (availableNow)."""
+    root = str(tmp_path_factory.mktemp("stream_idx"))
+    src_all = str(tmp_path_factory.mktemp("stream_all"))
+    for i in range(3):
+        spark.read.parquet(f"{corpus_parts}/drop_{i}").write.mode("append").parquet(src_all)
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_all)
+    )
+    indexer = IncrementalIndexer(spark, root, CFG)
+    q = indexer.start_stream(stream)
+    q.awaitTermination(120)
+    man = indexer.manifest()
+    assert man["next_doc_id"] == N
+    eng = indexer.engine()
+    r = eng.search(Query.make(require=["import"]))
+    assert r.total > 0
+
+
+def test_compact_restores_single_index(spark, corpus_parts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cmp_idx"))
+    out = str(tmp_path_factory.mktemp("cmp_out"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    for epoch in range(3):
+        indexer.ingest_batch(spark.read.parquet(f"{corpus_parts}/drop_{epoch}"), epoch)
+    indexer.compact(out)
+    eng = SearchEngine(spark, out)
+    multi = indexer.engine()
+    for q in QUERIES[:3]:
+        a, b = eng.search_bm25(q), multi.search_bm25(q)
+        assert list(a.doc_ids) == list(b.doc_ids), q
+        # compacted index has globally consistent block-max metadata → WAND ok
+    w = eng.search_bm25_wand(Query.make(contain=["util1", "helper2", "the"], k=15))
+    e = eng.search_bm25(Query.make(contain=["util1", "helper2", "the"], k=15))
+    assert list(w.doc_ids) == list(e.doc_ids)

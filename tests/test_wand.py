@@ -33,7 +33,7 @@ def oracle():
 
 WAND_QUERIES = [
     Query.make(contain=["import", "return", "license"], k=10),
-    Query.make(contain=["util_1", "util_2", "helper_3", "the"], k=20),
+    Query.make(contain=["util1", "util2", "helper3", "the"], k=20),
     Query.make(contain=["uid00000005", "license"], k=5),
     Query.make(contain=["import"], k=50),
     Query.make(contain=["zzz_missing", "import"], k=10),
@@ -54,7 +54,7 @@ def test_wand_rank_identical_to_exhaustive(engine, oracle):
 
 def test_wand_fallback_paths_match(engine, oracle):
     for q in [
-        Query.make(require=["import"], contain=["util_1"], k=10),
+        Query.make(require=["import"], contain=["util1"], k=10),
         Query.make(contain=["import"], exclude=["error"], k=10),
         Query.make(),
     ]:
