@@ -66,6 +66,7 @@ class IndexConfig:
     max_query_terms: int = 50  # reference default, src/main.rs:16
     max_results: int = 50  # reference default, src/main.rs:15
     idf: str = "lucene"  # ln(1 + (N-df+0.5)/(df+0.5)) — non-negative variant
+    postings_impl: str = "sortstream"  # 'sortstream' (one shuffle) | 'collect' (agg+collect_list)
 
 
 @dataclass
@@ -144,6 +145,96 @@ def make_encoder(block_size: int):
     return encode
 
 
+def make_stream_encoder(block_size: int):
+    """mapInPandas over a (term, salt)-hash-partitioned, (term, salt, doc_id)-
+    sorted flat posting stream: group boundaries are found vectorized
+    (np.split on change points) and a carry buffer stitches groups that span
+    Arrow batch boundaries. One shuffle total — no collect_list buffers, no
+    per-group JVM aggregation state. This is SURVEY.md B9's planned shape
+    (repartition → sortWithinPartitions → vectorized encode)."""
+    from .codec import encode_postings_batch
+
+    def _emit(terms, salts, docs, tfs, ws, bounds) -> pd.DataFrame:
+        docs_list = np.split(docs, bounds)
+        tfs_list = np.split(tfs, bounds)
+        ws_list = np.split(ws, bounds)
+        heads = np.concatenate([[0], bounds])
+        pbs = encode_postings_batch(docs_list, tfs_list, ws_list, block_size=block_size)
+        return pd.DataFrame(
+            {
+                "term": terms[heads],
+                "salt": salts[heads],
+                "df": np.fromiter((d.size for d in docs_list), np.int64, count=len(docs_list)),
+                "cf": np.fromiter((int(t.sum()) for t in tfs_list), np.int64, count=len(tfs_list)),
+                "block_max_doc": [pb.max_doc for pb in pbs],
+                "block_count": [pb.counts for pb in pbs],
+                "block_offset": [pb.offsets for pb in pbs],
+                "block_max_weight": [pb.max_weight for pb in pbs],
+                "payload": [pb.payload for pb in pbs],
+            }
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            if len(pdf) == 0:
+                continue
+            # change points where (term, salt) differs from previous row
+            chg = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            if chg.size == 0:
+                carry = pdf  # whole batch is one (possibly continuing) group
+                continue
+            last_head = chg[-1]
+            carry = pdf.iloc[last_head:]
+            head = pdf.iloc[:last_head]
+            yield _emit(
+                terms[:last_head],
+                salts[:last_head],
+                head["doc_id"].to_numpy(np.int64),
+                head["tf"].to_numpy(np.int64),
+                head["w"].to_numpy(np.float32),
+                chg[:-1],
+            )
+        if carry is not None and len(carry):
+            terms = carry["term"].to_numpy()
+            salts = carry["salt"].to_numpy()
+            chg = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            yield _emit(
+                terms, salts,
+                carry["doc_id"].to_numpy(np.int64),
+                carry["tf"].to_numpy(np.int64),
+                carry["w"].to_numpy(np.float32),
+                chg,
+            )
+
+    return encode
+
+
+def _tune_split_size(spark: SparkSession, path: str, n_part: int) -> None:
+    """Size parquet input splits to the data: every tokenize stage scans the
+    docs table, and with the stock 128 MB maxPartitionBytes a bench-sized
+    corpus packs into 2-4 splits — leaving all but a few cores idle no
+    matter the parallelism (measured: local[32] slower than local[8]).
+    Target ≈ 2 splits per core, clamped to [4 MB, 128 MB] so a genuinely
+    large corpus keeps production-sized splits."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    target = max(4 << 20, min(128 << 20, total // max(1, n_part * 2)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(int(max(64 << 10, target // 8))))
+    # keep AQE's post-shuffle coalescing from folding the encode stage onto a
+    # handful of cores: advisory size scales with the same data-size estimate
+    # (pairs blow up ~4× over docs bytes; target 2 partitions per core)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(int(max(1 << 20, min(64 << 20, total * 4 // max(1, n_part * 2))))))
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -199,6 +290,7 @@ def build_index(
     if stop_after == "docs":
         return metrics
 
+    _tune_split_size(spark, docs_path, n_part)
     docs_df = spark.read.parquet(docs_path)
     pairs = tokenize_pairs(docs_df, "doc_id", content_col)
 
@@ -252,25 +344,40 @@ def build_index(
     # ---- stage 3: salted posting blocks ----
     if not stage("postings"):
         t0 = time.monotonic()
-        salted = (
-            pairs.withColumn("w", w_col)
-            .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
-        )
-        grouped = (
-            salted.groupBy("term", "salt")
-            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "w"))).alias("ps"))
-            .select(
-                "term",
-                "salt",
-                # unzip JVM-side so Arrow ships primitive arrays, not structs
-                F.transform("ps", lambda x: x["doc_id"]).alias("doc_ids"),
-                F.transform("ps", lambda x: x["tf"]).alias("tfs"),
-                F.transform("ps", lambda x: x["w"]).alias("ws"),
-            )
-        )
         from pyspark import StorageLevel
 
-        encoded = grouped.mapInPandas(make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
+        if cfg.postings_impl == "sortstream":
+            # one-shuffle path: tf computed inside the Arrow tokenizer (no
+            # explode+agg shuffle), then a single hash repartition on
+            # (term, salt) + in-partition sort feeds the streaming encoder
+            from .tokenizer import tokenize_pairs_pandas
+
+            p = tokenize_pairs_pandas(docs_df, "doc_id", content_col)
+            salted = (
+                p.withColumn("w", w_col)
+                .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
+                .select("term", "salt", "doc_id", "tf", "w")
+            )
+            stream = salted.repartition(n_part, "term", "salt").sortWithinPartitions("term", "salt", "doc_id")
+            encoded = stream.mapInPandas(make_stream_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
+        else:
+            salted = (
+                pairs.withColumn("w", w_col)
+                .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
+            )
+            grouped = (
+                salted.groupBy("term", "salt")
+                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "w"))).alias("ps"))
+                .select(
+                    "term",
+                    "salt",
+                    # unzip JVM-side so Arrow ships primitive arrays, not structs
+                    F.transform("ps", lambda x: x["doc_id"]).alias("doc_ids"),
+                    F.transform("ps", lambda x: x["tf"]).alias("tfs"),
+                    F.transform("ps", lambda x: x["w"]).alias("ws"),
+                )
+            )
+            encoded = grouped.mapInPandas(make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA)
         # persist before the range write: repartitionByRange's boundary-
         # sampling pass would otherwise re-run the whole tokenize→shuffle→
         # encode pipeline a second time

@@ -103,7 +103,6 @@ class SearchEngine:
         self.max_query_terms: int = self.stats.get("max_query_terms", 50)
         self.max_results: int = self.stats.get("max_results", 50)
         self._postings_df = spark.read.parquet(f"{index_dir}/postings")
-        self._stats_df = spark.read.parquet(f"{index_dir}/term_stats")
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
         self._cache: dict[str, TermPostings | None] = {}
         self._doclens: np.ndarray | None = None
@@ -122,11 +121,14 @@ class SearchEngine:
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
         missing = [t for t in set(terms) if t not in self._cache]
         if missing:
+            # ONE filtered scan serves the whole query (reference Q6); df and
+            # the WAND bound come from the shard rows themselves (sum of
+            # shard dfs / max of block maxima), so no second job against
+            # term_stats is needed on the query path.
             rows = self._postings_df.filter(F.col("term").isin(missing)).collect()
             by_term: dict[str, list] = {}
             for r in rows:
                 by_term.setdefault(r["term"], []).append(r)
-            srows = {r["term"]: r for r in self._stats_df.filter(F.col("term").isin(missing)).collect()}
             for t in missing:
                 if t not in by_term:
                     self._cache[t] = None
@@ -139,10 +141,10 @@ class SearchEngine:
                     key=lambda r: (r["salt"], r["block_max_doc"][0] if r["block_max_doc"] else -1),
                 )
                 pb = concat_blocks([_row_to_blocks(r) for r in shards])
-                st = srows.get(t)
                 self._cache[t] = TermPostings(
-                    t, int(st["df"]) if st else pb.n_postings,
-                    float(st["max_weight"]) if st else float(pb.max_weight.max() if pb.n_blocks else 0.0),
+                    t,
+                    int(sum(r["df"] for r in shards)),
+                    float(pb.max_weight.max()) if pb.n_blocks else 0.0,
                     pb,
                 )
         return {t: self._cache[t] for t in terms}

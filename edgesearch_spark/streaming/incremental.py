@@ -144,7 +144,6 @@ class MultiSegmentEngine(SearchEngine):
         self.max_query_terms = self.stats.get("max_query_terms", 50)
         self.max_results = self.stats.get("max_results", 50)
         self._postings_df = spark.read.parquet(*[f"{s}/postings" for s in segment_dirs])
-        self._stats_df = spark.read.parquet(*[f"{s}/term_stats" for s in segment_dirs])
         self._docs_df = spark.read.parquet(*[f"{s}/docs" for s in segment_dirs])
         self._cache = {}
         self._doclens = None
@@ -160,24 +159,7 @@ class MultiSegmentEngine(SearchEngine):
             self._doclens = arr
         return self._doclens
 
-    def fetch_terms(self, terms):
-        """Same batched fetch; per-term df must be summed across segments
-        (the union read already interleaves shard rows; SearchEngine's
-        grouping by salt handles disjoint docID ranges)."""
-        out = super().fetch_terms(terms)
-        # df from term_stats: the union contains one row per (segment, term) —
-        # recompute from grouped rows
-        missing = [t for t in terms if out[t] is not None]
-        if missing:
-            rows = (
-                self._stats_df.filter(F.col("term").isin(missing))
-                .groupBy("term").agg(F.sum("df").alias("df"), F.max("max_weight").alias("mw"))
-                .collect()
-            )
-            stats = {r["term"]: r for r in rows}
-            for t in missing:
-                tp = out[t]
-                if t in stats:
-                    tp.df = int(stats[t]["df"])
-                    tp.max_weight = float(stats[t]["mw"])
-        return out
+    # fetch_terms: inherited — per-term df/max_weight are derived from the
+    # shard rows themselves (summed/maxed), which is segment-correct by
+    # construction; the union read interleaves shard rows and SearchEngine's
+    # (salt, first-block) ordering merges disjoint docID ranges.

@@ -82,7 +82,9 @@ def tokenize_pairs_pandas(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = pdf[content_col].str.lower().str.split(pat)
-            toks = toks.apply(lambda xs: [t for t in (xs or []) if t])  # drop empties
+            # drop empties + overlong terms BEFORE dl so dl matches the JVM
+            # tokenizer (which sizes the filtered token array)
+            toks = toks.apply(lambda xs: [t for t in (xs or []) if t and len(t) <= MAX_TERM_BYTES])
             dl = toks.str.len().astype("int64")
             frame = pd.DataFrame({"doc_id": pdf[doc_id_col], "dl": dl, "term": toks})
             frame = frame.explode("term", ignore_index=True)
@@ -91,7 +93,6 @@ def tokenize_pairs_pandas(
                 frame["term"] = frame["term"].map(lambda t: wmap.get(t, t))
             if prefix:
                 frame["term"] = prefix + frame["term"]
-            frame = frame[frame["term"].str.len() <= MAX_TERM_BYTES]
             out = (
                 frame.groupby(["doc_id", "dl", "term"], as_index=False, sort=False)
                 .size()

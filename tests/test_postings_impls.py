@@ -1,0 +1,44 @@
+"""The two postings-build paths (sortstream: one-shuffle streaming encode;
+collect: agg+collect_list) must produce logically byte-identical postings,
+and the two tokenizers must agree."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgesearch_spark.build import IndexConfig, build_index
+from edgesearch_spark.corpus import generate_corpus
+from edgesearch_spark.tokenizer import tokenize_pairs, tokenize_pairs_pandas
+
+N = 700
+
+
+def _fingerprint(spark, out):
+    rows = (
+        spark.read.parquet(f"{out}/postings")
+        .select("term", "salt", "df", "cf", F.sha2(F.col("payload"), 256).alias("ph"),
+                F.col("block_max_doc").cast("string").alias("bmd"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def test_sortstream_equals_collect(spark, tmp_path_factory):
+    corpus = generate_corpus(spark, N, seed=8)
+    outs = {}
+    for impl in ("sortstream", "collect"):
+        out = str(tmp_path_factory.mktemp(impl))
+        build_index(spark, corpus, out,
+                    IndexConfig(block_size=16, salt_shift=6, postings_impl=impl),
+                    order_cols=("repo", "path", "commit"))
+        outs[impl] = out
+    assert _fingerprint(spark, outs["sortstream"]) == _fingerprint(spark, outs["collect"])
+
+
+def test_tokenizers_agree(spark):
+    docs = generate_corpus(spark, 200, seed=4).withColumn("doc_id", F.monotonically_increasing_id())
+    a = tokenize_pairs(docs, "doc_id", "content").orderBy("doc_id", "term").collect()
+    b = tokenize_pairs_pandas(docs, "doc_id", "content").orderBy("doc_id", "term").collect()
+    assert [(r["doc_id"], r["term"], r["tf"], r["dl"]) for r in a] == [
+        (r["doc_id"], r["term"], r["tf"], r["dl"]) for r in b
+    ]
