@@ -303,11 +303,11 @@ def build_index(
     doclens_path = os.path.join(out_dir, "doclens")
     if not stage("stats"):
         t0 = time.monotonic()
-        from .tokenizer import _tokens_col
+        from .tokenizer import doc_length_col
 
         # the docs parquet is range-sorted by doc_id, so the narrow map
         # below inherits that order — write without reshuffling
-        dl_df = docs_df.select("doc_id", F.size(_tokens_col(content_col)).cast("long").alias("dl"))
+        dl_df = docs_df.select("doc_id", doc_length_col(content_col).alias("dl"))
         dl_df.write.mode("overwrite").parquet(doclens_path)
         tot = spark.read.parquet(doclens_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens")).collect()[0]

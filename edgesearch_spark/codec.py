@@ -159,11 +159,29 @@ def decode_block(pb: PostingBlocks, i: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_all(pb: PostingBlocks) -> tuple[np.ndarray, np.ndarray]:
-    """Decode every block → (doc_ids, tfs), concatenated."""
+    """Decode every block → (doc_ids, tfs), fully vectorized: ONE varint
+    pass over the whole payload, then positional extraction + segmented
+    cumsum (per-block python loops cost ~10 µs/block — a 1M-posting hot
+    term has ~8k blocks, so looping is 100× slower than this)."""
     if pb.n_blocks == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    parts = [decode_block(pb, i) for i in range(pb.n_blocks)]
-    return np.concatenate([p[0] for p in parts]), np.concatenate([p[1] for p in parts])
+    counts = pb.counts.astype(np.int64)
+    n = int(counts.sum())
+    vals = decode_varint(np.frombuffer(pb.payload, dtype=np.uint8), count=2 * n).astype(np.int64)
+    block_start = np.concatenate([[0], np.cumsum(counts)[:-1]])  # posting index of each block head
+    pid = np.repeat(np.arange(counts.size), counts)  # owning block per posting
+    off = np.arange(n) - block_start[pid]
+    stream_base = 2 * block_start
+    doc_stream = vals[stream_base[pid] + off]
+    tfs = vals[stream_base[pid] + counts[pid] + off] + 1
+    # segmented cumsum: within a block, doc = head + Σ(delta+1); heads absolute
+    adj = doc_stream + 1
+    heads = block_start
+    adj[heads] = doc_stream[heads]
+    csum = np.cumsum(adj)
+    base = csum[heads] - doc_stream[heads]
+    docs = csum - base[pid]
+    return docs, tfs
 
 
 def concat_blocks(parts: list[PostingBlocks]) -> PostingBlocks:

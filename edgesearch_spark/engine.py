@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import idf_value, load_stats
-from .codec import PostingBlocks, concat_blocks, decode_block
+from .codec import PostingBlocks, concat_blocks, decode_all, decode_block
 from .oracle import Query, QueryTooLarge, SearchResult
 
 
@@ -52,20 +52,33 @@ def _row_to_blocks(row) -> PostingBlocks:
 
 
 def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
-    """tf for each (sorted) candidate docID, 0 when absent. Decodes only
-    blocks that can contain a candidate (block-max skip)."""
+    """tf for each (sorted) candidate docID, 0 when absent.
+
+    Sparse candidates → block-skip path (decode only candidate-bearing
+    blocks). Dense candidates (would touch most blocks anyway) → one
+    vectorized full decode + searchsorted, which beats ~10 µs/block python
+    looping by ~100× on hot terms."""
     out = np.zeros(doc_ids.size, dtype=np.int64)
     if pb.n_blocks == 0 or doc_ids.size == 0:
         return out
     # block index owning each candidate: first block with max_doc >= cand
     blk = np.searchsorted(pb.max_doc, doc_ids, side="left")
     valid = blk < pb.n_blocks
-    for b in np.unique(blk[valid]):
+    touched = np.unique(blk[valid])
+    if touched.size > max(32, pb.n_blocks // 4):
+        docs, tfs = decode_all(pb)
+        pos = np.searchsorted(docs, doc_ids)
+        pos_ok = pos < docs.size
+        hit = np.zeros(doc_ids.size, dtype=bool)
+        hit[pos_ok] = docs[pos[pos_ok]] == doc_ids[pos_ok]
+        out[hit] = tfs[pos[hit]]
+        return out
+    for b in touched:
         sel = valid & (blk == b)
         docs, tfs = decode_block(pb, int(b))
         pos = np.searchsorted(docs, doc_ids[sel])
         pos_ok = pos < docs.size
-        hit = np.zeros(sel.sum(), dtype=bool)
+        hit = np.zeros(int(sel.sum()), dtype=bool)
         hit[pos_ok] = docs[pos[pos_ok]] == doc_ids[sel][pos_ok]
         idx = np.flatnonzero(sel)[hit]
         out[idx] = tfs[pos[hit]]
@@ -73,10 +86,8 @@ def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
 
 
 def decode_all_docs(pb: PostingBlocks) -> np.ndarray:
-    """All docIDs of a posting list (sorted)."""
-    if pb.n_blocks == 0:
-        return np.empty(0, np.int64)
-    return np.concatenate([decode_block(pb, i)[0] for i in range(pb.n_blocks)])
+    """All docIDs of a posting list (sorted); vectorized single-pass decode."""
+    return decode_all(pb)[0]
 
 
 def intersect_candidates(cands: np.ndarray, pb: PostingBlocks) -> np.ndarray:

@@ -41,6 +41,16 @@ def _tokens_col(content_col: str) -> F.Column:
     return F.filter(toks, lambda t: (t != F.lit("")) & (F.octet_length(t) <= MAX_TERM_BYTES))
 
 
+def doc_length_col(content_col: str) -> F.Column:
+    """Token count per document (BM25 dl) as a single regexp_count — ~40×
+    faster than size(filter(split(…))), whose higher-order filter lambda
+    falls out of whole-stage codegen. The lookarounds make an alnum run
+    longer than MAX_TERM_BYTES count as zero tokens (matching the
+    tokenizer's drop-overlong rule) instead of splitting into two matches."""
+    pat = rf"(?<![a-zA-Z0-9])[a-zA-Z0-9]{{1,{MAX_TERM_BYTES}}}(?![a-zA-Z0-9])"
+    return F.regexp_count(F.col(content_col), F.lit(pat)).cast("long")
+
+
 def tokenize_pairs(df: DataFrame, doc_id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf, dl). All JVM built-ins.
 

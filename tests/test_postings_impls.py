@@ -42,3 +42,21 @@ def test_tokenizers_agree(spark):
     assert [(r["doc_id"], r["term"], r["tf"], r["dl"]) for r in a] == [
         (r["doc_id"], r["term"], r["tf"], r["dl"]) for r in b
     ]
+
+
+def test_doc_length_col_matches_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.tokenizer import _tokens_col, doc_length_col
+
+    rows = [
+        (0, "hello world (x) = 12"),
+        (1, ""),
+        (2, "___"),
+        (3, "a" * 300 + " short " + "b" * 255),  # overlong run counts 0; 255-run counts 1
+        (4, "tab\tnewline\nmix 42x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r["dl"] for r in df.select("doc_id", doc_length_col("content").alias("dl")).collect()}
+    want = {r["doc_id"]: r["dl"] for r in df.select("doc_id", F.size(_tokens_col("content")).cast("long").alias("dl")).collect()}
+    assert got == want == {0: 4, 1: 0, 2: 0, 3: 2, 4: 4}
