@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 10k-row Arrow batches fragment pandas-UDF work into thousands of
+        # tiny calls (measured: the posting encoder spent most of its time in
+        # per-batch overhead); 64k rows keeps tokenizer input batches ~60 MB
+        # while cutting encoder batch count ~6×
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

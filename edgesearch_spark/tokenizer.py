@@ -85,29 +85,33 @@ def tokenize_pairs_pandas(
     prefixing (build.ts:50). No per-row Python — pandas str ops + explode."""
     import re
 
-    pat = re.compile(TOKEN_SPLIT_RE)
+    pat = re.compile(r"[a-zA-Z0-9]+")  # findall of runs ≡ split-and-drop-empties
     wmap = dict(word_map or {})
     prefix = f"{field_prefix}_" if field_prefix else ""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = pdf[content_col].str.lower().str.split(pat)
-            # drop empties + overlong terms BEFORE dl so dl matches the JVM
-            # tokenizer (which sizes the filtered token array)
-            toks = toks.apply(lambda xs: [t for t in (xs or []) if t and len(t) <= MAX_TERM_BYTES])
-            dl = toks.str.len().astype("int64")
-            frame = pd.DataFrame({"doc_id": pdf[doc_id_col], "dl": dl, "term": toks})
-            frame = frame.explode("term", ignore_index=True)
+            # all C-path pandas ops — no per-row python (north rule)
+            toks = pdf[content_col].str.lower().str.findall(pat)
+            frame = pd.DataFrame({"doc_id": pdf[doc_id_col], "term": toks}).explode(
+                "term", ignore_index=True
+            )
             frame = frame[frame["term"].notna()]
+            keep = frame["term"].str.len() <= MAX_TERM_BYTES
+            if not keep.all():
+                frame = frame[keep]
             if wmap:
                 frame["term"] = frame["term"].map(lambda t: wmap.get(t, t))
             if prefix:
                 frame["term"] = prefix + frame["term"]
             out = (
-                frame.groupby(["doc_id", "dl", "term"], as_index=False, sort=False)
+                frame.groupby(["doc_id", "term"], as_index=False, sort=False)
                 .size()
                 .rename(columns={"size": "tf"})
             )
+            # dl = total kept tokens per doc = Σ tf (post-filter, matching the
+            # JVM tokenizer's filtered-array size)
+            out["dl"] = out.groupby("doc_id", sort=False)["tf"].transform("sum")
             yield out[["doc_id", "term", "tf", "dl"]]
 
     return df.select(doc_id_col, content_col).mapInPandas(run, schema=PAIRS_SCHEMA)
