@@ -60,3 +60,19 @@ def test_doc_length_col_matches_tokenizer(spark):
     got = {r["doc_id"]: r["dl"] for r in df.select("doc_id", doc_length_col("content").alias("dl")).collect()}
     want = {r["doc_id"]: r["dl"] for r in df.select("doc_id", F.size(_tokens_col("content")).cast("long").alias("dl")).collect()}
     assert got == want == {0: 4, 1: 0, 2: 0, 3: 2, 4: 4}
+
+
+def test_pandas_tokenizer_wordmap_merges_counts(spark):
+    rows = [(0, "ms loves Microsoft ms"), (1, "plain text")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = tokenize_pairs_pandas(df, "doc_id", "content", word_map={"ms": "microsoft"}).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in out}
+    assert got[(0, "microsoft")] == (3, 4)  # 2×ms + 1×Microsoft merged
+    assert got[(0, "loves")] == (1, 4)
+    assert got[(1, "plain")] == (1, 2)
+
+
+def test_pandas_tokenizer_field_prefix(spark):
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, content string")
+    out = tokenize_pairs_pandas(df, "doc_id", "content", field_prefix="title").collect()
+    assert sorted(r["term"] for r in out) == ["title_alpha", "title_beta"]
