@@ -91,6 +91,75 @@ def lsh_bucket_histogram(
     )
 
 
+def embedding_near_dup_exact(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via a
+    self-join — the small-scale oracle for the LSH variant (O(n²): use only
+    for verification / small dims of the pipeline)."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.zip_with(vd, vd, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    base = emb.select(F.col(id_col).alias("id"), vd.alias("v"), norm.alias("n"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: candidates from equi-joins on hyperplane-LSH buckets —
+    ``n_bands`` independent plane sets OR-amplify recall (a true near-dup
+    pair is missed only if split in EVERY band: miss ≈ (1-(1-θ/π)^planes)^bands),
+    exact cosine filter on candidates only — never a cross join."""
+    dim = dim or len(emb.select(vec_col).first()[0])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.zip_with(vd, vd, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    bucket_cols = [
+        lsh_bucket_col(F.col(vec_col), hyperplanes(dim, n_planes, seed + 1000 * band)).alias(f"bkt{band}")
+        for band in range(n_bands)
+    ]
+    base = emb.select(F.col(id_col).alias("id"), vd.alias("v"), norm.alias("n"), *bucket_cols)
+    # explode to (band, bucket) so one equi-join serves all bands
+    banded = base.select(
+        "id", "v", "n",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"bkt{i}").alias("bucket")) for i in range(n_bands)])).alias("bb"),
+    ).select("id", "v", "n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     qvec: list[float],

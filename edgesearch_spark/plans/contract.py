@@ -403,6 +403,29 @@ FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10
 SQL_ANN_COSINE_TOPK = _sql_ann()
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact variant (the oracle for the
+    LSH-bucketed scale path, tested separately). Threshold 0.42 picked to
+    yield pairs on the driver's synthetic vectors (their max pair cos ≈0.51)."""
+    from ..operators.similarity import embedding_near_dup_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_exact(emb, threshold=0.42)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.42
+"""
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucketing (scale path for ANN): deterministic planes,
     bucket signature per vector; returns bucket histogram. Rows-only check."""
@@ -612,9 +635,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     if sf_dir not in _IDX_CACHE:
+        from .. import __version__
         from ..build import IndexConfig, build_index
 
-        out = os.path.join("/tmp", "edgesearch_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+        # version-stamped cache dir: a format change must not reuse an index
+        # built by an older package version lingering in /tmp
+        out = os.path.join(
+            "/tmp",
+            "edgesearch_idx_" + hashlib.md5(f"{sf_dir}:{__version__}".encode()).hexdigest()[:10],
+        )
         docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
         build_index(spark, docs, out, IndexConfig(), doc_id_col="doc_id", content_col="content", resume=True)
         _IDX_CACHE[sf_dir] = out
@@ -671,6 +700,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),

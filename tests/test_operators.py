@@ -113,3 +113,31 @@ def test_entry_smoke(spark):
     assert [f.name for f in df.schema.fields] == ["rank", "doc_id", "score", "lang", "source"]
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """Banded LSH must recover planted near-dup pairs (cos ≥ 0.99); all its
+    pairs pass the exact-cosine filter so it is a subset of the exact join."""
+    import pandas as pd
+
+    from edgesearch_spark.operators.similarity import (
+        embedding_near_dup_exact,
+        embedding_near_dup_lsh,
+    )
+
+    # plant near-dups: 30 base vectors + tiny deterministic perturbations
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 64))
+    noisy = base + rng.normal(size=(30, 64)) * 0.02
+    others = rng.normal(size=(140, 64))
+    mat = np.concatenate([base, noisy, others]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(len(mat)), "embedding": [list(map(float, v)) for v in mat]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_exact(df, 0.99).collect()}
+    lsh = {(r["a"], r["b"]) for r in embedding_near_dup_lsh(df, 0.99, n_planes=6, n_bands=4).collect()}
+    planted = {(i, i + 30) for i in range(30)}
+    assert planted <= exact
+    assert lsh <= exact
+    missed = planted - lsh
+    assert len(missed) <= 1, missed  # OR-amplified recall ≈ 100% at cos≥0.99
