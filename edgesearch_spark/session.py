@@ -57,6 +57,11 @@ def get_spark(
         # per-batch overhead); 64k rows keeps tokenizer input batches ~60 MB
         # while cutting encoder batch count ~6×
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # shuffle spill/blocks in shared memory: local-mode shuffles stream
+        # through spark.local.dir, and a disk-backed dir makes shuffle I/O a
+        # core-count-independent bottleneck (this box: ~780 MB/s disk, 126 GB
+        # free tmpfs). Cluster deployments override via SPARK_LOCAL_DIRS.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
