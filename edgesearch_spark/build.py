@@ -66,7 +66,7 @@ class IndexConfig:
     max_query_terms: int = 50  # reference default, src/main.rs:16
     max_results: int = 50  # reference default, src/main.rs:15
     idf: str = "lucene"  # ln(1 + (N-df+0.5)/(df+0.5)) — non-negative variant
-    postings_impl: str = "sortstream"  # 'sortstream' (one shuffle) | 'collect' (agg+collect_list)
+    postings_impl: str = "arrow"  # 'arrow' (mapInArrow, zero-PyObject) | 'sortstream' (pandas) | 'collect'
 
 
 @dataclass
@@ -346,7 +346,20 @@ def build_index(
         t0 = time.monotonic()
         from pyspark import StorageLevel
 
-        if cfg.postings_impl == "sortstream":
+        if cfg.postings_impl == "arrow":
+            # zero-PyObject hot path: Arrow-native tokenizer + encoder
+            # (arrow_pipeline.py) around the same single (term, salt) shuffle
+            from .arrow_pipeline import make_stream_encoder_arrow, tokenize_pairs_arrow
+
+            p = tokenize_pairs_arrow(docs_df, "doc_id", content_col)
+            salted = (
+                p.withColumn("w", w_col)
+                .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
+                .select("term", "salt", "doc_id", "tf", "w")
+            )
+            stream = salted.repartition(n_part, "term", "salt").sortWithinPartitions("term", "salt", "doc_id")
+            encoded = stream.mapInArrow(make_stream_encoder_arrow(cfg.block_size), schema=POSTINGS_SCHEMA)
+        elif cfg.postings_impl == "sortstream":
             # one-shuffle path: tf computed inside the Arrow tokenizer (no
             # explode+agg shuffle), then a single hash repartition on
             # (term, salt) + in-partition sort feeds the streaming encoder

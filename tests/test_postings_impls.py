@@ -26,13 +26,14 @@ def _fingerprint(spark, out):
 def test_sortstream_equals_collect(spark, tmp_path_factory):
     corpus = generate_corpus(spark, N, seed=8)
     outs = {}
-    for impl in ("sortstream", "collect"):
+    for impl in ("sortstream", "collect", "arrow"):
         out = str(tmp_path_factory.mktemp(impl))
         build_index(spark, corpus, out,
                     IndexConfig(block_size=16, salt_shift=6, postings_impl=impl),
                     order_cols=("repo", "path", "commit"))
         outs[impl] = out
-    assert _fingerprint(spark, outs["sortstream"]) == _fingerprint(spark, outs["collect"])
+    fp = {impl: _fingerprint(spark, out) for impl, out in outs.items()}
+    assert fp["sortstream"] == fp["collect"] == fp["arrow"]
 
 
 def test_tokenizers_agree(spark):
