@@ -80,3 +80,16 @@ def test_write_documents_roundtrip(spark, files, tmp_path_factory):
     write_documents_file(df, out)
     with open(docs_path, "rb") as a, open(out, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_iceberg_source_fallback(spark, tmp_path_factory):
+    """Without Iceberg jars the corpus source falls back to parquet
+    transparently (same schema, same downstream plan)."""
+    from edgesearch_spark.corpus import generate_corpus
+    from edgesearch_spark.sources.iceberg import iceberg_available, read_corpus, write_snapshot
+
+    assert iceberg_available(spark) in (True, False)
+    p = str(tmp_path_factory.mktemp("ice") / "corpus")
+    write_snapshot(generate_corpus(spark, 50, seed=2), p)
+    df = read_corpus(spark, p)
+    assert df.count() == 50 and set(df.columns) == {"repo", "path", "commit", "lang", "content"}
