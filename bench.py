@@ -87,8 +87,7 @@ def main() -> None:
     queries["index_build"] = round(build_sec, 3)
 
     # ---- query batch through the kernel (reference semantics + BM25) ----
-    eng = SearchEngine(spark, out)
-    _ = eng.doclens  # warm norms cache
+    eng = SearchEngine(spark, out).warm()  # serving posture: postings cached + norms loaded
     lat: list[float] = []
     for name, q in QUERY_BATCH:
         t0 = time.monotonic()

@@ -118,6 +118,16 @@ class SearchEngine:
         self._cache: dict[str, TermPostings | None] = {}
         self._doclens: np.ndarray | None = None
 
+    def warm(self) -> "SearchEngine":
+        """Pin the postings table in executor memory (Spark cache) and load
+        the norms — the serving posture for repeated queries. At 10^12-doc
+        scale one caches the hot term range, not the whole table; the filter
+        pushdown path is identical either way."""
+        self._postings_df = self._postings_df.cache()
+        self._postings_df.count()
+        _ = self.doclens
+        return self
+
     # ---- doc-length norms cache (Lucene-norms analogue) ----
     @property
     def doclens(self) -> np.ndarray:

@@ -623,6 +623,61 @@ SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM g GROUP B
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (SURVEY §2.3 'grouping sets' row — absent in the
+    reference, native in Spark): revenue by (returnflag, linestatus) with
+    subtotals and a grand total."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .fillna({"l_returnflag": "<all>", "l_linestatus": "<all>"})
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_qty(spark, sf_dir):
+    """Pivot (returnflag × linestatus → columns) — expressed portably as
+    conditional aggregation so the DuckDB oracle matches exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_o"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_f"),
+    )
+
+
+SQL_PIVOT_QTY = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_distinct_parts(spark, sf_dir):
+    """Exact + grouped distinct counting over a join (countDistinct)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------- index-backed entries (the compressed-index + kernel path) ----------
 
 _IDX_CACHE: dict[str, str] = {}
@@ -709,6 +764,9 @@ QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "pivot_qty": (q_pivot_qty, SQL_PIVOT_QTY),
+    "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
