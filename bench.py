@@ -9,7 +9,7 @@ $SPARK_GRAFT_SF_DIR.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores (default 32)
-  BENCH_CORPUS_DOCS    synthetic corpus size (default 50_000)
+  BENCH_CORPUS_DOCS    synthetic corpus size (default 200_000)
 
 Two-parallelism scaling evidence (BASELINE.md protocol): run this script
 twice with SPARK_GRAFT_CPUS=8 and 32 (separate processes — the JVM caches
@@ -51,7 +51,7 @@ BM25_BATCH = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "50000"))
+    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "200000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="edgesearch-bench", cores=cpus, shuffle_partitions=cpus)
 
