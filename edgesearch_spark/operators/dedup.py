@@ -11,8 +11,12 @@ generation always goes through an equi-join key):
   simhash                — 64-bit SimHash fingerprints (hamming-closeness
                            clustering is a fixed-radius join on rotated keys)
 
-All JVM built-ins (xxhash64, explode, windowed aggregation) — no Python in
-the hot path.
+All JVM built-ins (md5, explode, aggregation) — no Python in the hot path.
+The hash family is md5-derived rather than xxhash64 so every operator has a
+bit-identical ANSI-SQL oracle (DuckDB ships md5 but not xxhash64): MinHash
+takes the lexicographic min of md5 hex digests (min of a uniform hash is a
+uniform min-hash regardless of representation), SimHash reads its 64 bits
+off the first 16 hex nibbles of md5(term).
 """
 
 from __future__ import annotations
@@ -78,12 +82,15 @@ def shingle_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """(doc_id, seed, minhash): MinHash over shingle sets via seeded xxhash64
-    (h_i(s) = xxhash64(s, i) — an independent-ish family, all JVM-side)."""
+    """(doc_id, seed, minhash): MinHash over shingle sets via a seeded md5
+    family — h_i(s) = md5(i || ':' || s), minimized lexicographically as a
+    hex string (the min of a uniform hash is a uniform min-hash in any total
+    order). All JVM-side, and portable: DuckDB's md5 yields the same digests,
+    so the LSH pipeline is fully oracle-checkable."""
     sh = _shingles(df, id_col, text_col, n)
     seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
     hashed = sh.select("doc_id", "shingle", seeds).withColumn(
-        "h", F.xxhash64(F.col("shingle"), F.col("seed"))
+        "h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
     )
     return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
@@ -104,9 +111,9 @@ def minhash_lsh_candidates(
     not doc pairs."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash"))
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -122,28 +129,38 @@ def minhash_lsh_candidates(
     )
 
 
+def _simhash_bit(h_col: str, j: int) -> F.Column:
+    """Bit j (0..63) of the 64-bit value spelled by the first 16 hex nibbles
+    of an md5 digest column: nibble j//4, bit j%4 within the nibble. Hex-
+    string arithmetic (not unhex+int) so the identical expression exists in
+    ANSI SQL — the DuckDB oracle mirrors it with strpos('0123…f', …)."""
+    nibble = F.conv(F.substring(F.col(h_col), j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, j % 4).bitwiseAND(F.lit(1))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign of the tf-weighted sum of each term-hash
-    bit. (doc_id, simhash long). Bit explosion is 64× on (doc, term) rows but
-    stays JVM-side; near-dup docs differ in few bits (tested via hamming)."""
+    bit. (doc_id, simhash long).
+
+    Scale shape: ONE groupBy(doc_id) computing all 64 signed bit-sums as
+    conditional-sum aggregates (map-side partial agg reduces each partition
+    to one 64-column row per doc) — no 64× row explosion, no amplified
+    shuffle. Near-dup docs differ in few bits (tested via hamming64)."""
     from ..tokenizer import tokenize_pairs
 
-    pairs = tokenize_pairs(df, id_col, text_col).withColumn("h", F.xxhash64("term"))
-    bits = pairs.select(
-        "doc_id", "tf", "h",
-        F.explode(F.array(*[F.lit(j) for j in range(64)])).alias("j"),
-    ).withColumn(
-        # shiftright/shiftleft builtins need literal shift amounts; use SQL
-        # expressions for the column-valued shift
-        "contrib",
-        F.col("tf") * (F.expr("(h >> j) & 1") * 2 - 1),
-    )
-    bitsum = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
-    return (
-        bitsum.withColumn("bitval", F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(F.lit(0).cast("long")))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    pairs = tokenize_pairs(df, id_col, text_col).withColumn("h", F.md5("term"))
+    aggs = [
+        F.sum(F.col("tf") * (_simhash_bit("h", j) * 2 - 1)).alias(f"s{j}")
+        for j in range(64)
+    ]
+    sums = pairs.groupBy("doc_id").agg(*aggs)
+    # Σ 2^j over set bits; bit 63 is the sign bit of the int64 (its power is
+    # min-long). Partial sums of distinct powers of two never overflow.
+    val = F.lit(0).cast("long")
+    for j in range(64):
+        power = -(1 << 63) if j == 63 else (1 << j)
+        val = val + F.when(F.col(f"s{j}") > 0, F.lit(power).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", val.alias("simhash"))
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:

@@ -104,7 +104,9 @@ def q_term_df(spark, sf_dir):
     )
 
 
-SQL_TERM_DF = f"WITH {_PAIRS_CTE} SELECT term, count(*) AS df, sum(tf) AS cf FROM pairs GROUP BY term"
+# CAST: DuckDB sum(BIGINT) returns HUGEINT (int128); Spark returns BIGINT —
+# identical values, different wire type, which fails the driver's value hash
+SQL_TERM_DF = f"WITH {_PAIRS_CTE} SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM pairs GROUP BY term"
 
 
 def q_doc_lengths(spark, sf_dir):
@@ -357,19 +359,87 @@ WHERE i.common * 1.0 / (sa.sz + sb.sz - i.common) >= 0.5
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs (no SQL oracle — xxhash64 is Spark-side;
-    pytest asserts candidates ⊇ true Jaccard pairs on fixtures)."""
+    """MinHash+LSH candidate pairs. The md5-derived hash family exists in
+    both engines, so the whole pipeline (seeded min-hash → banded bucket
+    hash → bucket self-join) is DuckDB-checkable; pytest additionally
+    asserts candidates ⊇ true Jaccard pairs on fixtures."""
     from ..operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=32, band_size=4)
 
 
+# mirrors operators/dedup.py minhash_lsh_candidates exactly: same seeded md5
+# family, same lexicographic min, same sorted band digest, same bucket join
+_SH_CTE = f"""
+  toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+    FROM toks WHERE len(ts) >= 3
+  )
+"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SH_CTE},
+hx AS (
+  SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hx GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(seed::VARCHAR || ':' || minhash, ','
+                        ORDER BY seed::VARCHAR || ':' || minhash)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (no SQL oracle — xxhash64; pytest checks
-    hamming-closeness of known near-dups)."""
+    """64-bit SimHash per doc — md5-bit family, single-groupBy shape; the
+    oracle mirrors the 64 conditional bit-sums nibble for nibble."""
     from ..operators.dedup import simhash
 
     return simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    """DuckDB twin of operators/dedup.py simhash: bit j of md5(term) is
+    (nibble[j//4] >> (j%4)) & 1 with nibbles read off the hex digest."""
+    nibs = ",\n         ".join(
+        f"strpos('0123456789abcdef', substring(h, {k + 1}, 1)) - 1 AS n{k}" for k in range(16)
+    )
+    sums = ",\n         ".join(
+        f"sum(tf * (((n{j // 4} >> {j % 4}) & 1) * 2 - 1)) AS s{j}" for j in range(64)
+    )
+    powers = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {-(1 << 63) if j == 63 else (1 << j)} ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH {_PAIRS_CTE},
+hx AS (SELECT doc_id, tf, md5(term) AS h FROM pairs),
+nib AS (
+  SELECT doc_id, tf,
+         {nibs}
+  FROM hx
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM nib GROUP BY doc_id
+)
+SELECT doc_id, CAST({powers} AS BIGINT) AS simhash FROM bits
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 # ---------- similarity / embeddings ----------
@@ -428,11 +498,38 @@ WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.
 
 def q_ann_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucketing (scale path for ANN): deterministic planes,
-    bucket signature per vector; returns bucket histogram. Rows-only check."""
+    bucket signature per vector; returns bucket histogram. The planes are
+    pure arithmetic (no RNG state), so the oracle inlines the identical
+    coefficients and reproduces every sign bit-for-bit."""
     from ..operators.similarity import lsh_bucket_histogram
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_histogram(emb, n_planes=8, seed=42)
+
+
+def _sql_ann_lsh_buckets(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of lsh_bucket_histogram: each plane's coefficients are
+    inlined as k/1000 double divisions (the exact doubles Python computes),
+    and the dot product is a left-to-right chain `0.0 + v[1]*c1 + …` — the
+    same sequential fold F.aggregate performs, so every rounding step and
+    therefore every sign bit matches."""
+    from ..operators.similarity import _mix32
+
+    parts = []
+    for p in range(n_planes):
+        ks = [_mix32(p, i, seed) % 2001 - 1000 for i in range(dim)]
+        dot = " + ".join(
+            f"v[{i + 1}] * (CAST({k} AS DOUBLE) / CAST(1000 AS DOUBLE))" for i, k in enumerate(ks)
+        )
+        parts.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(parts)
+    return f"""
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT CAST({bucket} AS BIGINT) AS bucket, count(*) AS n_vecs FROM e GROUP BY bucket
+"""
+
+
+SQL_ANN_LSH_BUCKETS = _sql_ann_lsh_buckets()
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -619,7 +716,7 @@ WITH g AS (
                    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
 """
 
 
@@ -752,11 +849,11 @@ QUERIES = {
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_shingle_jaccard": (q_dedup_shingle_jaccard, SQL_DEDUP_SHINGLE_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
