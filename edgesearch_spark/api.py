@@ -27,7 +27,9 @@ import urllib.parse
 
 from .oracle import Query, SearchResult
 
-_TERM_RE = re.compile(r"^([012])_([^&]+)$")
+# unanchored tail like the worker's /^([012])_([^&]+)/ (script/src/main.ts:253):
+# a '&' inside the (decoded) value truncates the term rather than rejecting it
+_TERM_RE = re.compile(r"^([012])_([^&]+)")
 _HASH_PART_RE = re.compile(r"^([!~]?)([a-z]+):(.*)$")
 _WORD_RE = re.compile(r"[a-zA-Z0-9]+")
 
@@ -53,7 +55,9 @@ def parse_query_params(t_params: list[str], c_param: str | None = None, k: int =
 def parse_query_url(url: str, k: int = 50) -> Query | None:
     """Parse a full `/search?...` URL or bare query string."""
     qs = urllib.parse.urlparse(url).query or (url if "=" in url else "")
-    params = urllib.parse.parse_qsl(qs, keep_blank_values=False)
+    # keep blanks: a blank `t=` must reach the term regex and fail → 400,
+    # matching the worker (its regex cannot match an empty value)
+    params = urllib.parse.parse_qsl(qs, keep_blank_values=True)
     ts = [v for key, v in params if key == "t"]
     cs = [v for key, v in params if key == "c"]
     return parse_query_params(ts, cs[0] if cs else None, k=k)

@@ -44,7 +44,10 @@ class SearchApp:
             result = self.engine.search_bm25(q) if scored else self.engine.search(q)
         except QueryTooLarge:
             return Response(413, json.dumps({"error": "Too many terms"}))
-        if not result.doc_ids and result.total == 0:
+        # ONLY a missing REQUIRE term gets the http.ts:30-31 short-circuit
+        # shape; an empty boolean intersection goes through the normal
+        # streamed envelope (key order total/continuation/results)
+        if q.require and any(p is None for p in self.engine.fetch_terms(list(q.require)).values()):
             return Response(200, no_results_response())
         # doc fetch preserving rank order (reference Q15 + response assembly)
         rows = {r["doc_id"]: r for r in self.engine.fetch_docs(list(result.doc_ids)).collect()}

@@ -74,6 +74,11 @@ def batch_search(
     # require terms "required" (they make the query unsatisfiable)
     qt = qt.join(F.broadcast(ts.select("term", "df")), "term", "left")
     qt = qt.filter(~((F.col("mode") == "c") & F.col("df").isNull()))
+    # a term in BOTH require and contain of one query must score once, like
+    # SearchEngine/oracle (dict.fromkeys(require+contain)): flag the r-dup
+    # so the c row keeps its boolean role but contributes no score
+    r_terms = qt.filter(F.col("mode") == "r").select("query_id", "term").withColumn("__has_r", F.lit(1))
+    qt = qt.join(r_terms, ["query_id", "term"], "left")
 
     # per-query clause cardinalities (computed after dropping missing contains)
     clause = qt.groupBy("query_id").agg(
@@ -84,12 +89,13 @@ def batch_search(
 
     posts = decoded_postings(spark, index_dir, terms=all_terms)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    hits = posts.join(F.broadcast(qt.select("query_id", "term", "mode", "df")), "term")
+    hits = posts.join(F.broadcast(qt.select("query_id", "term", "mode", "df", "__has_r")), "term")
 
     dl = doclens_table(spark, index_dir)
     hits = hits.join(dl, "doc_id")
     w = F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
-    hits = hits.withColumn("partial", F.when(F.col("mode").isin("r", "c"), idf * w).otherwise(F.lit(0.0)))
+    scores_once = (F.col("mode") == "r") | ((F.col("mode") == "c") & F.col("__has_r").isNull())
+    hits = hits.withColumn("partial", F.when(scores_once, idf * w).otherwise(F.lit(0.0)))
 
     per_doc = hits.groupBy("query_id", "doc_id").agg(
         F.countDistinct(F.when(F.col("mode") == "r", F.col("term"))).alias("req_hit"),

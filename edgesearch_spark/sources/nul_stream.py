@@ -40,12 +40,17 @@ def read_documents_file(spark: SparkSession, path: str) -> DataFrame:
     """documents file → (doc_id, content). docID = stream position.
 
     The reference treats payloads as opaque bytes (it never parses the
-    JSON — src/data/documents.rs:27); we keep them as strings. A trailing
-    empty record (file ending in '\\0') is dropped, matching the reference
-    reader's EOF handling."""
+    JSON — src/data/documents.rs:27); we keep them as strings. Only the
+    *trailing* empty record (the file-final '\\0' artifact) is EOF and
+    dropped; a mid-stream double-NUL is an empty-payload document with its
+    own docID, exactly as the reference reader yields it
+    (src/data/documents.rs:20-30)."""
     recs = _records_with_position(spark, path)
+    last = recs.agg(F.max("pos")).collect()[0][0]
+    if last is None:
+        return recs.select(F.col("pos").alias("doc_id"), F.col("record").alias("content"))
     return (
-        recs.filter(F.col("record") != "")
+        recs.filter(~((F.col("record") == "") & (F.col("pos") == int(last))))
         .select(F.col("pos").alias("doc_id"), F.col("record").alias("content"))
     )
 

@@ -129,12 +129,14 @@ class MultiSegmentEngine(SearchEngine):
         stats = None
         n_docs = 0
         total_tokens = 0
+        self._segment_avgdls: list[float] = []
         for s in segment_dirs:
             with open(os.path.join(s, "stats.json")) as f:
                 st = json.load(f)
             stats = stats or st
             n_docs += st["n_docs"]
             total_tokens += st["total_tokens"]
+            self._segment_avgdls.append(float(st["avgdl"]))
         self.stats = {**stats, "n_docs": n_docs, "total_tokens": total_tokens,
                       "avgdl": (total_tokens / n_docs) if n_docs else 0.0}
         self.n_docs = n_docs
@@ -163,3 +165,16 @@ class MultiSegmentEngine(SearchEngine):
     # shard rows themselves (summed/maxed), which is segment-correct by
     # construction; the union read interleaves shard rows and SearchEngine's
     # (salt, first-block) ordering merges disjoint docID ranges.
+
+    def search_bm25_wand(self, q, exact_total: bool = True):
+        """Pruned kernel is only rank-safe when block-max weights were baked
+        under the live avgdl: each segment baked w = tf/(tf + k1(1-b+b·dl/avgdl_seg)),
+        so when global avgdl > avgdl_seg the stored maxima UNDERESTIMATE the
+        true upper bounds and WAND could silently prune true top-k docs.
+        Enforce the compact()-first contract instead of trusting callers:
+        delegate to exhaustive (still exact) scoring unless every segment's
+        avgdl matches the global one (e.g. single segment, or post-compact)."""
+        fresh = all(abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
+        if not fresh:
+            return self.search_bm25(q)
+        return super().search_bm25_wand(q, exact_total=exact_total)

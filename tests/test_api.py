@@ -69,3 +69,20 @@ def test_response_shapes():
     r2 = SearchResult(total=12, continuation=5, doc_ids=[1])
     assert response_to_dict(search_response(r2, ["7"]))["continuation"] == 5
     assert response_to_dict(no_results_response()) == {"results": [], "continuation": None, "total": 0}
+
+
+def test_parse_blank_t_is_malformed():
+    """Worker parity: a blank `t=` reaches the term regex and fails -> 400
+    (parse returns None); the old keep_blank_values=False silently dropped it."""
+    from edgesearch_spark.api import parse_query_url
+
+    assert parse_query_url("/search?t=&c=0") is None
+
+
+def test_parse_term_truncates_at_ampersand():
+    """Worker regex /^([012])_([^&]+)/ has no $ anchor: a decoded '&' inside
+    the value truncates the term instead of rejecting the query."""
+    from edgesearch_spark.api import parse_query_url
+
+    q = parse_query_url("/search?t=0_abc%26def")
+    assert q is not None and q.require == ("abc",)

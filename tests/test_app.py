@@ -60,3 +60,12 @@ def test_empty_query_default_results(app):
 def test_scored_mode(app):
     body = json.loads(app.handle_search("/search?t=1_import&t=1_license", scored=True).body)
     assert body["total"] > 0 and body["results"]
+
+
+def test_empty_intersection_uses_normal_envelope(app):
+    """Only missing-REQUIRE gets the http.ts no-results byte shape; an empty
+    boolean result (here require X + exclude X) streams the normal envelope
+    with key order total/continuation/results."""
+    r = app.handle_search("/search?t=0_import&t=2_import")
+    assert r.status == 200
+    assert r.body == '{"total":0,"continuation":null,"results":[]}'

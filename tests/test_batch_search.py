@@ -36,6 +36,9 @@ BATCH = {
     "q_missing_con": dict(require=["import"], contain=["zzz_nope", "util1"]),
     "q_excl_only": dict(exclude=["license"]),
     "q_missing_exc": dict(require=["import"], exclude=["zzz_nope"]),
+    # a term in BOTH require and contain must score exactly once
+    # (oracle: dict.fromkeys(require+contain))
+    "q_overlap_rc": dict(require=["import"], contain=["import", "util1"]),
 }
 
 

@@ -93,3 +93,15 @@ def test_iceberg_source_fallback(spark, tmp_path_factory):
     write_snapshot(generate_corpus(spark, 50, seed=2), p)
     df = read_corpus(spark, p)
     assert df.count() == 50 and set(df.columns) == {"repo", "path", "commit", "lang", "content"}
+
+
+def test_mid_stream_empty_payload_is_a_document(spark, tmp_path_factory):
+    """A mid-stream double-NUL is an empty-payload document WITH a docID
+    (src/data/documents.rs:20-30); only the trailing empty record is EOF."""
+    d = tmp_path_factory.mktemp("nul_empty")
+    p = str(d / "documents")
+    with open(p, "wb") as f:
+        f.write(b'{"a":1}\x00\x00{"b":2}\x00')  # doc0, empty doc1, doc2
+    rows = read_documents_file(spark, p).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["content"]) for r in rows] == [
+        (0, '{"a":1}'), (1, ""), (2, '{"b":2}')]

@@ -109,3 +109,19 @@ def test_compact_restores_single_index(spark, corpus_parts, tmp_path_factory):
     w = eng.search_bm25_wand(Query.make(contain=["util1", "helper2", "the"], k=15))
     e = eng.search_bm25(Query.make(contain=["util1", "helper2", "the"], k=15))
     assert list(w.doc_ids) == list(e.doc_ids)
+
+
+def test_multisegment_wand_is_rank_safe(spark, corpus_parts, tmp_path_factory):
+    """MultiSegmentEngine.search_bm25_wand must not trust per-segment
+    block-max metadata (baked under per-segment avgdl): it delegates to
+    exhaustive scoring pre-compact, so its ranking is always exact."""
+    root = str(tmp_path_factory.mktemp("wand_idx"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    for epoch in range(3):
+        indexer.ingest_batch(spark.read.parquet(f"{corpus_parts}/drop_{epoch}"), epoch)
+    multi = indexer.engine()
+    assert len({round(a, 6) for a in multi._segment_avgdls}) > 1  # guard is live
+    q = Query.make(contain=["util1", "helper2", "the"], k=15)
+    w, e = multi.search_bm25_wand(q), multi.search_bm25(q)
+    assert list(w.doc_ids) == list(e.doc_ids)
+    assert np.allclose(w.scores, e.scores, atol=1e-12)
