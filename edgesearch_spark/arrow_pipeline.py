@@ -39,10 +39,12 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("salt", pa.int64()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
+        ("block_first_doc", pa.list_(pa.int64())),
         ("block_max_doc", pa.list_(pa.int64())),
         ("block_count", pa.list_(pa.int32())),
         ("block_offset", pa.list_(pa.int64())),
         ("block_max_weight", pa.list_(pa.float32())),
+        ("block_kind", pa.list_(pa.int32())),
         ("payload", pa.binary()),
     ]
 )
@@ -117,10 +119,12 @@ def make_stream_encoder_arrow(block_size: int):
                 pa.array(salts[heads].astype(np.int64)),
                 pa.array(np.fromiter((d.size for d in docs_list), np.int64, count=n_groups)),
                 pa.array(np.fromiter((int(t.sum()) for t in tfs_list), np.int64, count=n_groups)),
+                list_arr([pb.first_doc for pb in pbs], np.int64),
                 list_arr([pb.max_doc for pb in pbs], np.int64),
                 list_arr([pb.counts for pb in pbs], np.int32),
                 list_arr([pb.offsets for pb in pbs], np.int64),
                 list_arr([pb.max_weight for pb in pbs], np.float32),
+                list_arr([pb.kinds for pb in pbs], np.int32),
                 pa.array([pb.payload for pb in pbs], type=pa.binary()),
             ],
             schema=POSTINGS_ARROW_SCHEMA,

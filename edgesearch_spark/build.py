@@ -51,8 +51,9 @@ STAGES = ("docs", "stats", "postings", "terms")
 
 POSTINGS_SCHEMA = (
     "term string, salt long, df long, cf long, "
-    "block_max_doc array<long>, block_count array<int>, block_offset array<long>, "
-    "block_max_weight array<float>, payload binary"
+    "block_first_doc array<long>, block_max_doc array<long>, block_count array<int>, "
+    "block_offset array<long>, block_max_weight array<float>, block_kind array<int>, "
+    "payload binary"
 )
 
 
@@ -134,10 +135,12 @@ def make_encoder(block_size: int):
                     "salt": pdf["salt"].to_numpy(),
                     "df": np.fromiter((d.size for d in docs_list), dtype=np.int64, count=len(docs_list)),
                     "cf": np.fromiter((int(t.sum()) for t in tfs_list), dtype=np.int64, count=len(tfs_list)),
+                    "block_first_doc": [pb.first_doc for pb in pbs],
                     "block_max_doc": [pb.max_doc for pb in pbs],
                     "block_count": [pb.counts for pb in pbs],
                     "block_offset": [pb.offsets for pb in pbs],
                     "block_max_weight": [pb.max_weight for pb in pbs],
+                    "block_kind": [pb.kinds.astype(np.int32) for pb in pbs],
                     "payload": [pb.payload for pb in pbs],
                 }
             )
@@ -166,10 +169,12 @@ def make_stream_encoder(block_size: int):
                 "salt": salts[heads],
                 "df": np.fromiter((d.size for d in docs_list), np.int64, count=len(docs_list)),
                 "cf": np.fromiter((int(t.sum()) for t in tfs_list), np.int64, count=len(tfs_list)),
+                "block_first_doc": [pb.first_doc for pb in pbs],
                 "block_max_doc": [pb.max_doc for pb in pbs],
                 "block_count": [pb.counts for pb in pbs],
                 "block_offset": [pb.offsets for pb in pbs],
                 "block_max_weight": [pb.max_weight for pb in pbs],
+                "block_kind": [pb.kinds.astype(np.int32) for pb in pbs],
                 "payload": [pb.payload for pb in pbs],
             }
         )

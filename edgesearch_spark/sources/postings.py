@@ -43,14 +43,17 @@ def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         terms: list[str] = []
         docs: list[np.ndarray] = []
         tfs: list[np.ndarray] = []
-        for term, md, cnt, off, payload in zip(
-            pdf["term"], pdf["block_max_doc"], pdf["block_count"], pdf["block_offset"], pdf["payload"]
+        for term, fd, md, cnt, off, knd, payload in zip(
+            pdf["term"], pdf["block_first_doc"], pdf["block_max_doc"], pdf["block_count"],
+            pdf["block_offset"], pdf["block_kind"], pdf["payload"]
         ):
             pb = PostingBlocks(
+                first_doc=np.asarray(fd, dtype=np.int64),
                 max_doc=np.asarray(md, dtype=np.int64),
                 counts=np.asarray(cnt, dtype=np.int32),
                 offsets=np.asarray(off, dtype=np.int64),
                 max_weight=np.zeros(len(md), dtype=np.float32),
+                kinds=np.asarray(knd, dtype=np.uint8),
                 payload=bytes(payload),
             )
             d, t = decode_all(pb)
@@ -72,5 +75,5 @@ def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | Non
     pt = postings_table(spark, index_dir)
     if terms is not None:
         pt = pt.filter(F.col("term").isin(list(terms)))
-    cols = pt.select("term", "block_max_doc", "block_count", "block_offset", "payload")
+    cols = pt.select("term", "block_first_doc", "block_max_doc", "block_count", "block_offset", "block_kind", "payload")
     return cols.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)

@@ -137,3 +137,90 @@ def test_batch_encoder_rejects_unsorted_rows():
         encode_postings_batch(
             [np.array([5, 3], np.int64)], [np.array([1, 1], np.int64)], [np.zeros(2, np.float32)]
         )
+
+
+# ---- adaptive containers (run/bitset/const-tf), reference parity:
+# src/build/mod.rs:108-109 run-optimizes every bitmap; roaring.c container kinds ----
+
+from edgesearch_spark.codec import DOC_BITSET, DOC_RUN, DOC_VARINT, KIND_CONST_TF, KIND_DOC_MASK
+
+
+def test_dense_run_block_picks_run_and_roundtrips():
+    docs = list(range(1000, 1128))  # one perfect run, const tf
+    pb = _mk(docs, [3] * 128, block_size=128)
+    assert pb.n_blocks == 1
+    assert int(pb.kinds[0]) & KIND_DOC_MASK == DOC_RUN
+    assert int(pb.kinds[0]) & KIND_CONST_TF
+    assert len(pb.payload) <= 4  # ~0.25 bits/posting vs ~256 B under delta+varint
+    d, t = decode_all(pb)
+    assert d.tolist() == docs and t.tolist() == [3] * 128
+
+
+def test_dense_scattered_block_picks_bitset():
+    docs = [i * 2 for i in range(128)]  # every other doc: span 255, no runs
+    pb = _mk(docs, [1] * 128, block_size=128)
+    assert int(pb.kinds[0]) & KIND_DOC_MASK == DOC_BITSET
+    assert len(pb.payload) <= 33  # 32-byte bitmap + 1-byte const tf
+    d, t = decode_all(pb)
+    assert d.tolist() == docs and t.tolist() == [1] * 128
+    d1, t1 = decode_block(pb, 0)
+    assert d1.tolist() == docs and t1.tolist() == [1] * 128
+
+
+def test_sparse_block_stays_varint():
+    docs = [i * 100_000 for i in range(50)]
+    pb = _mk(docs, [(i % 5) + 1 for i in range(50)], block_size=128)
+    assert int(pb.kinds[0]) & KIND_DOC_MASK == DOC_VARINT
+    d, t = decode_all(pb)
+    assert d.tolist() == docs and t.tolist() == [(i % 5) + 1 for i in range(50)]
+
+
+def test_mixed_kind_blocks_roundtrip():
+    docs = (
+        list(range(0, 128))                      # run
+        + [200 + 2 * i for i in range(128)]      # bitset
+        + [10_000 * i for i in range(1, 129)]    # varint
+    )
+    tfs = [1] * 128 + [(i % 7) + 1 for i in range(128)] + [2] * 128
+    pb = _mk(docs, tfs, block_size=128)
+    assert pb.n_blocks == 3
+    kinds = [int(k) & KIND_DOC_MASK for k in pb.kinds]
+    assert kinds == [DOC_RUN, DOC_BITSET, DOC_VARINT]
+    d, t = decode_all(pb)
+    assert d.tolist() == docs and t.tolist() == tfs
+    for i in range(3):
+        db, tb = decode_block(pb, i)
+        assert db.tolist() == docs[i * 128 : (i + 1) * 128]
+        assert tb.tolist() == tfs[i * 128 : (i + 1) * 128]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=600, unique=True),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_dense_roundtrip_property(docs, bs, tfmod):
+    """Dense ID space (0..400) forces run/bitset selection often; every kind
+    mix must round-trip exactly, block-wise and whole-list."""
+    docs = sorted(docs)
+    tfs = [(d % (tfmod * 3)) % tfmod + 1 for d in docs]
+    pb = _mk(docs, tfs, block_size=bs)
+    d, t = decode_all(pb)
+    assert d.tolist() == docs
+    assert t.tolist() == tfs
+    i = len(pb.counts) // 2
+    db, tb = decode_block(pb, i)
+    lo = int(np.cumsum(pb.counts)[i - 1]) if i else 0
+    assert db.tolist() == docs[lo : lo + int(pb.counts[i])]
+    assert tb.tolist() == tfs[lo : lo + int(pb.counts[i])]
+
+
+def test_concat_preserves_kinds():
+    a = _mk(list(range(0, 100)), [1] * 100, block_size=128)
+    b = _mk([500 + 7 * i for i in range(40)], [2] * 40, block_size=128)
+    m = concat_blocks([a, b])
+    assert m.kinds.tolist() == a.kinds.tolist() + b.kinds.tolist()
+    assert m.first_doc.tolist() == a.first_doc.tolist() + b.first_doc.tolist()
+    d, t = decode_all(m)
+    assert d.tolist() == list(range(0, 100)) + [500 + 7 * i for i in range(40)]
