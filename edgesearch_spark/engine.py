@@ -43,10 +43,12 @@ from .oracle import Query, QueryTooLarge, SearchResult
 
 def _row_to_blocks(row) -> PostingBlocks:
     return PostingBlocks(
+        first_doc=np.array(row["block_first_doc"], dtype=np.int64),
         max_doc=np.array(row["block_max_doc"], dtype=np.int64),
         counts=np.array(row["block_count"], dtype=np.int32),
         offsets=np.array(row["block_offset"], dtype=np.int64),
         max_weight=np.array(row["block_max_weight"], dtype=np.float32),
+        kinds=np.array(row["block_kind"], dtype=np.uint8),
         payload=bytes(row["payload"]),
     )
 
@@ -101,9 +103,155 @@ class TermPostings:
     def __init__(self, term: str, df: int, max_weight: float, blocks: PostingBlocks):
         self.term, self.df, self.max_weight, self.blocks = term, df, max_weight, blocks
 
+    # ---- kernel interface (shared with LazyTermPostings) ----
+    @property
+    def n_blocks(self) -> int:
+        return self.blocks.n_blocks
+
+    def block_max_weights(self) -> np.ndarray:
+        return self.blocks.max_weight
+
+    def all_docs(self) -> np.ndarray:
+        return decode_all(self.blocks)[0]
+
+    def lookup_tfs(self, doc_ids: np.ndarray) -> np.ndarray:
+        return lookup_tfs(self.blocks, doc_ids)
+
+    def decode_blocks_docs(self, block_idx: np.ndarray) -> np.ndarray:
+        if block_idx.size == 0:
+            return np.empty(0, np.int64)
+        return np.concatenate([decode_block(self.blocks, int(i))[0] for i in block_idx])
+
+
+class LazyTermPostings:
+    """Hot-term postings with driver-bounded memory: only block METADATA is
+    collected up front (the payload column is pruned from the scan); payload
+    bytes are fetched on demand at (term, salt)-shard granularity, and only
+    for shards that can contain a candidate. This is the driver-kernel
+    analogue of the reference worker streaming one chunk at a time
+    (script/src/main.ts:191-240) — at 10^12 docs a df≈N term's full posting
+    list is tens of GB and must never be collected whole; a require+rare
+    query touches only the rare term's salt ranges of it.
+
+    ``bytes_fetched`` counts actual payload bytes transferred (test-asserted
+    ≪ total_payload_bytes)."""
+
+    __slots__ = (
+        "term", "df", "max_weight", "_engine", "_salts", "_shard_meta",
+        "_shard_payload", "_blk_shard", "_first_doc", "_max_doc", "_max_w",
+        "bytes_fetched", "total_payload_bytes",
+    )
+
+    def __init__(self, engine: "SearchEngine", term: str, meta_rows: list):
+        self._engine = engine
+        self.term = term
+        # shards in docID order (salt, then first-block first_doc for
+        # multi-segment splits of one salt bucket)
+        shards = sorted(
+            meta_rows,
+            key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1),
+        )
+        self.df = int(sum(r["df"] for r in shards))
+        self._salts = [int(r["salt"]) for r in shards]
+        self._shard_meta = []
+        self._shard_payload: dict[int, PostingBlocks] = {}
+        blk_shard = []
+        for si, r in enumerate(shards):
+            meta = {
+                "first_doc": np.array(r["block_first_doc"], dtype=np.int64),
+                "max_doc": np.array(r["block_max_doc"], dtype=np.int64),
+                "counts": np.array(r["block_count"], dtype=np.int32),
+                "offsets": np.array(r["block_offset"], dtype=np.int64),
+                "max_weight": np.array(r["block_max_weight"], dtype=np.float32),
+                "kinds": np.array(r["block_kind"], dtype=np.uint8),
+            }
+            self._shard_meta.append(meta)
+            blk_shard.append(np.full(meta["counts"].size, si, dtype=np.int64))
+        self._blk_shard = np.concatenate(blk_shard) if blk_shard else np.empty(0, np.int64)
+        self._first_doc = np.concatenate([m["first_doc"] for m in self._shard_meta])
+        self._max_doc = np.concatenate([m["max_doc"] for m in self._shard_meta])
+        self._max_w = np.concatenate([m["max_weight"] for m in self._shard_meta])
+        self.max_weight = float(self._max_w.max()) if self._max_w.size else 0.0
+        self.bytes_fetched = 0
+        self.total_payload_bytes = int(sum(int(m["offsets"][-1]) for m in self._shard_meta))
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self._blk_shard.size)
+
+    def block_max_weights(self) -> np.ndarray:
+        return self._max_w
+
+    # ---- shard payload fetch ----
+    def _ensure_shards(self, shard_idx: np.ndarray) -> None:
+        need = [int(s) for s in np.unique(shard_idx) if int(s) not in self._shard_payload]
+        if not need:
+            return
+        salts = sorted({self._salts[s] for s in need})
+        rows = (
+            self._engine._postings_df
+            .filter((F.col("term") == self.term) & F.col("salt").isin(salts))
+            .collect()
+        )
+        # rebuild shard order exactly as __init__ did, then keep needed ones
+        fetched = sorted(
+            rows, key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1)
+        )
+        by_key = {(int(r["salt"]), int(r["block_first_doc"][0])): r for r in fetched if r["block_first_doc"]}
+        for s in need:
+            m = self._shard_meta[s]
+            r = by_key[(self._salts[s], int(m["first_doc"][0]))]
+            self._shard_payload[s] = _row_to_blocks(r)
+            self.bytes_fetched += len(self._shard_payload[s].payload)
+
+    def _blocks_for_docs(self, doc_ids: np.ndarray) -> np.ndarray:
+        blk = np.searchsorted(self._max_doc, doc_ids, side="left")
+        return blk[blk < self.n_blocks]
+
+    # ---- kernel interface ----
+    def lookup_tfs(self, doc_ids: np.ndarray) -> np.ndarray:
+        out = np.zeros(doc_ids.size, dtype=np.int64)
+        if doc_ids.size == 0 or self.n_blocks == 0:
+            return out
+        blk = self._blocks_for_docs(doc_ids)
+        if blk.size == 0:
+            return out
+        shards = np.unique(self._blk_shard[blk])
+        self._ensure_shards(shards)
+        for s in shards:
+            m = self._shard_meta[int(s)]
+            lo, hi = int(m["first_doc"][0]), int(m["max_doc"][-1])
+            sel = (doc_ids >= lo) & (doc_ids <= hi)
+            if sel.any():
+                out[sel] = lookup_tfs(self._shard_payload[int(s)], doc_ids[sel])
+        return out
+
+    def all_docs(self) -> np.ndarray:
+        """Full decode — fetches every shard. Kept for contain/exclude-union
+        queries with no require clause; bounded paths never call this."""
+        if self.n_blocks == 0:
+            return np.empty(0, np.int64)
+        self._ensure_shards(np.arange(len(self._shard_meta)))
+        return np.concatenate(
+            [decode_all(self._shard_payload[s])[0] for s in range(len(self._shard_meta))]
+        )
+
+    def decode_blocks_docs(self, block_idx: np.ndarray) -> np.ndarray:
+        if block_idx.size == 0:
+            return np.empty(0, np.int64)
+        shards = self._blk_shard[block_idx]
+        self._ensure_shards(np.unique(shards))
+        shard_base = np.concatenate([[0], np.cumsum([m["counts"].size for m in self._shard_meta])])
+        return np.concatenate(
+            [
+                decode_block(self._shard_payload[int(s)], int(b - shard_base[int(s)]))[0]
+                for b, s in zip(block_idx, shards)
+            ]
+        )
+
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, lazy_min_df: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
@@ -113,9 +261,14 @@ class SearchEngine:
         self.avgdl: float = self.stats["avgdl"] or 1.0
         self.max_query_terms: int = self.stats.get("max_query_terms", 50)
         self.max_results: int = self.stats.get("max_results", 50)
+        # terms with df above this are served lazily: metadata first, payload
+        # per candidate-bearing shard — bounds driver memory on hot terms
+        self.lazy_min_df: int = lazy_min_df if lazy_min_df is not None else 1_000_000
         self._postings_df = spark.read.parquet(f"{index_dir}/postings")
+        self._term_stats_df = spark.read.parquet(f"{index_dir}/term_stats")
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
-        self._cache: dict[str, TermPostings | None] = {}
+        self._cache: dict[str, TermPostings | LazyTermPostings | None] = {}
+        self._df_cache: dict[str, int | None] = {}
         self._doclens: np.ndarray | None = None
 
     def warm(self) -> "SearchEngine":
@@ -138,36 +291,74 @@ class SearchEngine:
             self._doclens = arr
         return self._doclens
 
+    # ---- term existence + df from the (tiny) term_stats table ----
+    def _term_dfs(self, terms: list[str]) -> dict[str, int | None]:
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            rows = (
+                self._term_stats_df.filter(F.col("term").isin(missing))
+                .select("term", "df").collect()
+            )
+            found: dict[str, int] = {}
+            for r in rows:  # multi-segment unions yield one row per segment
+                found[r["term"]] = found.get(r["term"], 0) + int(r["df"])
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: self._df_cache[t] for t in terms}
+
+    _META_COLS = (
+        "term", "salt", "df", "block_first_doc", "block_max_doc",
+        "block_count", "block_offset", "block_max_weight", "block_kind",
+    )
+
     # ---- batched postings fetch: one scan serves all terms ----
-    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
+    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | LazyTermPostings | None]:
         missing = [t for t in set(terms) if t not in self._cache]
         if missing:
-            # ONE filtered scan serves the whole query (reference Q6); df and
-            # the WAND bound come from the shard rows themselves (sum of
-            # shard dfs / max of block maxima), so no second job against
-            # term_stats is needed on the query path.
-            rows = self._postings_df.filter(F.col("term").isin(missing)).collect()
-            by_term: dict[str, list] = {}
-            for r in rows:
-                by_term.setdefault(r["term"], []).append(r)
+            # routing first: term_stats (narrow, range-sorted, pushdown) says
+            # which terms exist and how hot they are. Small terms get ONE
+            # payload scan serving the whole query (reference Q6); hot terms
+            # get a metadata-only scan (payload column pruned) and fetch
+            # payload lazily per candidate-bearing shard (LazyTermPostings).
+            dfs = self._term_dfs(missing)
+            small = [t for t in missing if dfs[t] is not None and dfs[t] <= self.lazy_min_df]
+            hot = [t for t in missing if dfs[t] is not None and dfs[t] > self.lazy_min_df]
             for t in missing:
-                if t not in by_term:
+                if dfs[t] is None:
                     self._cache[t] = None
-                    continue
-                # order shards by (salt, first-block max): multi-segment
-                # indexes can split one salt bucket across segments with
-                # disjoint docID ranges — the secondary key orders those
-                shards = sorted(
-                    by_term[t],
-                    key=lambda r: (r["salt"], r["block_max_doc"][0] if r["block_max_doc"] else -1),
+            if small:
+                rows = self._postings_df.filter(F.col("term").isin(small)).collect()
+                by_term: dict[str, list] = {}
+                for r in rows:
+                    by_term.setdefault(r["term"], []).append(r)
+                for t in small:
+                    if t not in by_term:
+                        self._cache[t] = None
+                        continue
+                    # order shards by (salt, first-block docID): multi-segment
+                    # indexes can split one salt bucket across segments with
+                    # disjoint docID ranges — the secondary key orders those
+                    shards = sorted(
+                        by_term[t],
+                        key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1),
+                    )
+                    pb = concat_blocks([_row_to_blocks(r) for r in shards])
+                    self._cache[t] = TermPostings(
+                        t,
+                        int(sum(r["df"] for r in shards)),
+                        float(pb.max_weight.max()) if pb.n_blocks else 0.0,
+                        pb,
+                    )
+            if hot:
+                meta = (
+                    self._postings_df.select(*self._META_COLS)
+                    .filter(F.col("term").isin(hot)).collect()
                 )
-                pb = concat_blocks([_row_to_blocks(r) for r in shards])
-                self._cache[t] = TermPostings(
-                    t,
-                    int(sum(r["df"] for r in shards)),
-                    float(pb.max_weight.max()) if pb.n_blocks else 0.0,
-                    pb,
-                )
+                by_term = {}
+                for r in meta:
+                    by_term.setdefault(r["term"], []).append(r)
+                for t in hot:
+                    self._cache[t] = LazyTermPostings(self, t, by_term[t]) if t in by_term else None
         return {t: self._cache[t] for t in terms}
 
     def idf(self, df: int) -> float:
@@ -190,20 +381,39 @@ class SearchEngine:
         if q.require:
             # smallest-df-first: seed with the rarest list, then block-skip
             # intersect (the reference AND-folds in input order — result set
-            # is identical, order of folding is a pure optimization, SURVEY §4)
+            # is identical, order of folding is a pure optimization, SURVEY §4).
+            # Hot terms past the seed are PROBED, never decoded whole — with a
+            # lazy seed-mate only candidate-bearing shards are even fetched.
             req = sorted((tp[t] for t in q.require), key=lambda p: p.df)
-            result = decode_all_docs(req[0].blocks)
+            result = req[0].all_docs()
             for p in req[1:]:
                 if result.size == 0:
                     break
-                result = intersect_candidates(result, p.blocks)
+                result = result[p.lookup_tfs(result) > 0]
         if contain:
-            union = np.unique(np.concatenate([decode_all_docs(tp[t].blocks) for t in contain]))
-            result = union if result is None else result[np.isin(result, union, assume_unique=True)]
+            if result is None:
+                result = np.unique(np.concatenate([tp[t].all_docs() for t in contain]))
+            else:
+                # probe instead of union-decode: docs already out stay out
+                mask = np.zeros(result.size, dtype=bool)
+                for t in contain:
+                    rem = ~mask
+                    if not rem.any():
+                        break
+                    mask[rem] = tp[t].lookup_tfs(result[rem]) > 0
+                result = result[mask]
         if exclude:
-            union = np.unique(np.concatenate([decode_all_docs(tp[t].blocks) for t in exclude]))
-            # exclude-only quirk: union BECOMES the result (wasm/index.c:100-104)
-            result = union if result is None else result[~np.isin(result, union, assume_unique=True)]
+            if result is None:
+                # exclude-only quirk: union BECOMES the result (wasm/index.c:100-104)
+                result = np.unique(np.concatenate([tp[t].all_docs() for t in exclude]))
+            else:
+                mask = np.zeros(result.size, dtype=bool)
+                for t in exclude:
+                    rem = ~mask
+                    if not rem.any():
+                        break
+                    mask[rem] = tp[t].lookup_tfs(result[rem]) > 0
+                result = result[~mask]
         assert result is not None
         return result
 
@@ -246,7 +456,7 @@ class SearchEngine:
         dl = self.doclens[cands]
         knorm = self.k1 * (1 - self.b + self.b * dl / self.avgdl)
         for p in scoring:
-            tf = lookup_tfs(p.blocks, cands)
+            tf = p.lookup_tfs(cands)
             mask = tf > 0
             if mask.any():
                 w = tf[mask] / (tf[mask] + knorm[mask])
@@ -288,7 +498,7 @@ class SearchEngine:
             self.avgdl,
         )
         if exact_total:
-            total = int(np.unique(np.concatenate([decode_all_docs(p.blocks) for p in present])).size)
+            total = int(np.unique(np.concatenate([p.all_docs() for p in present])).size)
         else:
             total = -1
         if q.continuation >= res.doc_ids.size:

@@ -145,9 +145,12 @@ class MultiSegmentEngine(SearchEngine):
         self.avgdl = self.stats["avgdl"] or 1.0
         self.max_query_terms = self.stats.get("max_query_terms", 50)
         self.max_results = self.stats.get("max_results", 50)
+        self.lazy_min_df = 1_000_000
         self._postings_df = spark.read.parquet(*[f"{s}/postings" for s in segment_dirs])
+        self._term_stats_df = spark.read.parquet(*[f"{s}/term_stats" for s in segment_dirs])
         self._docs_df = spark.read.parquet(*[f"{s}/docs" for s in segment_dirs])
         self._cache = {}
+        self._df_cache = {}
         self._doclens = None
 
     @property

@@ -26,8 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .codec import decode_block
-from .engine import TermPostings, lookup_tfs
+from .engine import TermPostings
 
 
 @dataclass
@@ -40,13 +39,14 @@ class WandResult:
 
 def _seed_docs(tp: TermPostings, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
     """Doc IDs of this term, decoding only blocks that could beat θ for an
-    unseen doc. bound_if_new = suffix_sum AFTER this term (other terms' max)."""
-    pb = tp.blocks
-    keep = (idf_k * pb.max_weight.astype(np.float64) + bound_if_new) >= theta
+    unseen doc. bound_if_new = suffix_sum AFTER this term (other terms' max).
+    Works on eager and lazy postings alike — a lazy term fetches payload
+    only for its surviving blocks' shards."""
+    keep = (idf_k * tp.block_max_weights().astype(np.float64) + bound_if_new) >= theta
     skipped = int((~keep).sum())
     if not keep.any():
         return np.empty(0, np.int64), skipped
-    docs = np.concatenate([decode_block(pb, int(i))[0] for i in np.flatnonzero(keep)])
+    docs = tp.decode_blocks_docs(np.flatnonzero(keep))
     return docs, skipped
 
 
@@ -62,7 +62,7 @@ def wand_topk(
     if not terms or k <= 0:
         return WandResult(np.empty(0, np.int64), np.empty(0, np.float64), 0, 0)
     def upper(idf: float, tp: TermPostings) -> float:
-        return idf * (k1 + 1) * float(tp.blocks.max_weight.max() if tp.blocks.n_blocks else 0.0)
+        return idf * (k1 + 1) * float(tp.max_weight)
 
     order = sorted(range(len(terms)), key=lambda i: -upper(*terms[i]))
     idfs = [terms[i][0] for i in order]
@@ -81,7 +81,7 @@ def wand_topk(
         knorm = k1 * (1 - b + b * dl / avgdl)
         s = np.zeros(docs.size, dtype=np.float64)
         for idf, tp in zip(idfs, tps):
-            tf = lookup_tfs(tp.blocks, docs)
+            tf = tp.lookup_tfs(docs)
             m = tf > 0
             if m.any():
                 s[m] += idf * (k1 + 1) * (tf[m] / (tf[m] + knorm[m]))
