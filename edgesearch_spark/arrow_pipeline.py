@@ -50,9 +50,24 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
 )
 
 
-def tokenize_pairs_arrow(df: DataFrame, doc_id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
-    """(doc_id, content) → (doc_id, term, tf, dl) via mapInArrow."""
+def tokenize_pairs_arrow(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    word_map: dict[str, str] | None = None,
+    field_prefix: str | None = None,
+) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf, dl) via mapInArrow.
+
+    ``word_map``/``field_prefix`` are the demo-convention normalization hooks
+    (reference demo/work-at-microsoft/data/build.ts:14-29,50) — applied at the
+    UNIQUE level then re-factorized, so terms merged by the map combine their
+    counts exactly like ``tokenize_pairs_pandas`` (byte-identical postings,
+    parity-tested)."""
     import pandas as pd
+
+    wmap = dict(word_map or {})
+    prefix = f"{field_prefix}_" if field_prefix else ""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -70,6 +85,14 @@ def tokenize_pairs_arrow(df: DataFrame, doc_id_col: str = "doc_id", content_col:
             if bad.size:
                 keep = ~np.isin(codes, bad)
                 codes, doc_rep = codes[keep], doc_rep[keep]
+            if wmap or prefix:
+                s = pd.Series(np.asarray(uniques, dtype=object))
+                if wmap:
+                    s = s.map(lambda t: wmap.get(t, t))
+                if prefix:
+                    s = prefix + s
+                recodes, uniques = pd.factorize(s, sort=False)
+                codes = recodes[codes]
             n_u = len(uniques)
             key = doc_rep * np.int64(n_u) + codes
             ukey, tf = np.unique(key, return_counts=True)

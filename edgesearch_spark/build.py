@@ -63,11 +63,23 @@ class IndexConfig:
     b: float = 0.75
     block_size: int = 128
     salt_shift: int = 16  # shard = docID range of 2^16 docs (Roaring high-key analogue)
+    # write-side size budget (reference packs ≤25 MiB chunks,
+    # src/build/chunks/bst.rs:86-105): postings files target this many bytes
+    # via maxRecordsPerFile derived from measured bytes/row, and row groups
+    # stay small enough that term-range pruning keeps sub-file granularity.
+    target_file_bytes: int = 32 << 20
+    target_rowgroup_bytes: int = 8 << 20
     num_partitions: int | None = None
     max_query_terms: int = 50  # reference default, src/main.rs:16
     max_results: int = 50  # reference default, src/main.rs:15
     idf: str = "lucene"  # ln(1 + (N-df+0.5)/(df+0.5)) — non-negative variant
     postings_impl: str = "arrow"  # 'arrow' (mapInArrow, zero-PyObject) | 'sortstream' (pandas) | 'collect'
+    # demo-convention normalization (build.ts:14-29,50): term remapping
+    # (ms→microsoft style) and `{field}_` term prefixing. Honored by the
+    # 'arrow' and 'sortstream' tokenizers (parity-tested byte-identical);
+    # the JVM 'collect' tokenizer has no normalization hook → build refuses.
+    word_map: dict | None = None
+    field_prefix: str | None = None
 
 
 @dataclass
@@ -258,6 +270,8 @@ def build_index(
     cfg = config or IndexConfig()
     if (doc_id_col is None) == (order_cols is None):
         raise ValueError("exactly one of doc_id_col / order_cols required")
+    if (cfg.word_map or cfg.field_prefix) and cfg.postings_impl == "collect":
+        raise ValueError("word_map/field_prefix require postings_impl 'arrow' or 'sortstream'")
     os.makedirs(out_dir, exist_ok=True)
     n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
     metrics: list[StageMetrics] = []
@@ -356,7 +370,10 @@ def build_index(
             # (arrow_pipeline.py) around the same single (term, salt) shuffle
             from .arrow_pipeline import make_stream_encoder_arrow, tokenize_pairs_arrow
 
-            p = tokenize_pairs_arrow(docs_df, "doc_id", content_col)
+            p = tokenize_pairs_arrow(
+                docs_df, "doc_id", content_col,
+                word_map=cfg.word_map, field_prefix=cfg.field_prefix,
+            )
             salted = (
                 p.withColumn("w", w_col)
                 .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
@@ -370,7 +387,10 @@ def build_index(
             # (term, salt) + in-partition sort feeds the streaming encoder
             from .tokenizer import tokenize_pairs_pandas
 
-            p = tokenize_pairs_pandas(docs_df, "doc_id", content_col)
+            p = tokenize_pairs_pandas(
+                docs_df, "doc_id", content_col,
+                word_map=cfg.word_map, field_prefix=cfg.field_prefix,
+            )
             salted = (
                 p.withColumn("w", w_col)
                 .withColumn("salt", F.shiftright(F.col("doc_id"), cfg.salt_shift).cast("long"))
@@ -400,8 +420,23 @@ def build_index(
         # sampling pass would otherwise re-run the whole tokenize→shuffle→
         # encode pipeline a second time
         encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+        # size budget (B12): measure bytes/row off the persisted frame (this
+        # also materializes the cache ahead of boundary sampling), then cap
+        # records per output file so files land near target_file_bytes even
+        # when a range partition holds far more — at 100× scale an uncapped
+        # range partition writes multi-GB files that defeat pruning.
+        est = encoded.agg(
+            F.count(F.lit(1)).alias("rows"), F.sum(F.octet_length("payload")).alias("bytes")
+        ).collect()[0]
+        enc_rows, enc_bytes = int(est["rows"] or 0), int(est["bytes"] or 0)
+        # block metadata arrays add ~29 B/block ≈ payload-order overhead; 1.3×
+        bytes_per_row = max(64.0, 1.3 * enc_bytes / max(1, enc_rows))
+        max_rec = max(1, int(cfg.target_file_bytes / bytes_per_row))
         (encoded.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
-                .write.mode("overwrite").parquet(postings_path))
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", max_rec)
+                .option("parquet.block.size", cfg.target_rowgroup_bytes)
+                .parquet(postings_path))
         encoded.unpersist()
         agg = spark.read.parquet(postings_path).agg(
             F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),

@@ -111,6 +111,10 @@ class TermPostings:
     def block_max_weights(self) -> np.ndarray:
         return self.blocks.max_weight
 
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(first_doc, max_doc, counts) per block — metadata only."""
+        return self.blocks.first_doc, self.blocks.max_doc, self.blocks.counts
+
     def all_docs(self) -> np.ndarray:
         return decode_all(self.blocks)[0]
 
@@ -181,6 +185,10 @@ class LazyTermPostings:
 
     def block_max_weights(self) -> np.ndarray:
         return self._max_w
+
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        counts = np.concatenate([m["counts"] for m in self._shard_meta])
+        return self._first_doc, self._max_doc, counts
 
     # ---- shard payload fetch ----
     def _ensure_shards(self, shard_idx: np.ndarray) -> None:
@@ -469,26 +477,82 @@ class SearchEngine:
         return SearchResult(int(cands.size), cont, page.tolist(),
                             ranked_scores[lo : lo + page.size].tolist())
 
+    def _union_total(self, present: list) -> int:
+        """Exact |∪ postings| from block METADATA where possible: a block
+        whose [first,max] docID range intersects no other term's blocks holds
+        docs unique to its term (a shared doc would sit in an overlapping
+        block of the other term), so its count adds directly; only blocks
+        overlapping another term's range are decoded and deduped. For salted
+        range-bucketed lists disjoint salt ranges never decode at all."""
+        if len(present) == 1:
+            return int(present[0].df)
+        ranges = [p.block_ranges() for p in present]
+        decode_idx: list[np.ndarray] = []
+        total = 0
+        for i, (fi, mi, ci) in enumerate(ranges):
+            overlap = np.zeros(fi.size, dtype=bool)
+            for j, (fj, mj, _cj) in enumerate(ranges):
+                if i == j or fj.size == 0:
+                    continue
+                # block b of i overlaps some block of j iff the last j-block
+                # starting ≤ mi[b] ends ≥ fi[b]; j's blocks are disjoint+sorted
+                k = np.searchsorted(fj, mi, side="right") - 1
+                ok = k >= 0
+                overlap[ok] |= mj[k[ok]] >= fi[ok]
+            total += int(ci[~overlap].sum())
+            decode_idx.append(np.flatnonzero(overlap))
+        dec = [p.decode_blocks_docs(idx) for p, idx in zip(present, decode_idx) if idx.size]
+        if dec:
+            total += int(np.unique(np.concatenate(dec)).size)
+        return total
+
     def search_bm25_wand(self, q: Query, exact_total: bool = True) -> SearchResult:
         """BM25 top-k via the block-max WAND/MaxScore kernel (wand.py) —
-        rank-identical to search_bm25, pruned. Applies to the disjunctive
-        case (contain-only); require/exclude queries already prune through
-        the candidate-set path and fall back to it.
+        rank-identical to search_bm25, pruned.
 
-        exact_total=False skips the union-cardinality pass (total = -1) —
-        the latency-optimal mode when callers only need the page."""
-        if q.require or q.exclude or not q.contain:
-            return self.search_bm25(q)
-        n_terms = len(q.contain)
+        Mixed-mode queries (require/exclude present) run WAND over the
+        scoring terms (dedup of require+contain, like the reference-shaped
+        scorer) with a candidate filter from the boolean kernel: every
+        candidate appears in every require term, so the WAND unseen-doc
+        invariant still holds and pruning can only skip docs that provably
+        cannot enter the page. total is exactly |candidates| — free.
+
+        Contain-only queries seed purely from block maxima; exact_total=True
+        computes the union cardinality from block metadata, decoding only
+        blocks whose ranges overlap another term's (exact, usually cheap).
+        exact_total=False skips it (total = -1) — the latency-optimal mode
+        when callers only need the page."""
+        if not q.contain and not q.require:
+            return self.search_bm25(q)  # default page / exclude-only quirk path
+        n_terms = len(q.require) + len(q.contain) + len(q.exclude)
         if n_terms > self.max_query_terms:
             raise QueryTooLarge(n_terms)
-        tp = self.fetch_terms(list(q.contain))
-        present = [p for p in tp.values() if p is not None]
-        if not present:
-            return self._default_results(q)
         from .wand import wand_topk
 
         k_eff = q.continuation + q.k
+        candidate_filter = None
+        if q.require or q.exclude:
+            cands = self._result_docs(q)
+            if cands is None:
+                return self._default_results(q)
+            if cands.size == 0:
+                return SearchResult(0, None, [], [])
+            total = int(cands.size)
+
+            def candidate_filter(docs: np.ndarray, _c=cands) -> np.ndarray:
+                pos = np.searchsorted(_c, docs)
+                ok = pos < _c.size
+                ok[ok] = _c[pos[ok]] == docs[ok]
+                return docs[ok]
+
+            tp = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
+            present = [p for p in tp.values() if p is not None]
+        else:
+            tp = self.fetch_terms(list(q.contain))
+            present = [p for p in tp.values() if p is not None]
+            if not present:
+                return self._default_results(q)
+            total = self._union_total(present) if exact_total else -1
         res = wand_topk(
             [(self.idf(p.df), p) for p in present],
             k_eff,
@@ -496,11 +560,8 @@ class SearchEngine:
             self.k1,
             self.b,
             self.avgdl,
+            candidate_filter=candidate_filter,
         )
-        if exact_total:
-            total = int(np.unique(np.concatenate([p.all_docs() for p in present])).size)
-        else:
-            total = -1
         if q.continuation >= res.doc_ids.size:
             return SearchResult(total, None, [], [])
         page = res.doc_ids[q.continuation : k_eff]

@@ -256,12 +256,16 @@ GROUP BY fterm
 def q_bm25_topk(spark, sf_dir):
     """Distributed BM25 top-k: union candidates, per-(doc,term) partial
     scores, groupBy(doc) sum — the relational twin of the index kernel.
-    Broadcasts the per-term df (|terms| rows)."""
-    spark_df = _pairs(spark, sf_dir)
+    Broadcasts the per-term df (|terms| rows). Corpus stats (N, avgdl) come
+    from ONE narrow scan (regexp token count — no tokenize/explode), and the
+    exploded pairs are tokenized exactly once, pruned to the query terms."""
+    from ..tokenizer import doc_length_col
+
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    hits = spark_df.filter(F.col("term").isin(BM25_TERMS))
-    avgdl = _pairs(spark, sf_dir).select("doc_id", "dl").distinct().agg(F.avg("dl")).collect()[0][0]
+    stat = docs.select(doc_length_col("text").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stat["n"]), float(stat["avgdl"])
+    hits = _pairs(spark, sf_dir).filter(F.col("term").isin(BM25_TERMS))
     dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         hits.join(F.broadcast(dfs), "term")

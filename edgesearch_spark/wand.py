@@ -77,10 +77,13 @@ def wand_topk(
     blocks_skipped = 0
 
     def score_exact(docs: np.ndarray) -> np.ndarray:
+        # sum terms in CALLER order (not bound-sorted order): float addition
+        # isn't associative, and bit-identical scores to the exhaustive
+        # scorer keep equal-score tiebreaks identical too
         dl = doclens[docs]
         knorm = k1 * (1 - b + b * dl / avgdl)
         s = np.zeros(docs.size, dtype=np.float64)
-        for idf, tp in zip(idfs, tps):
+        for idf, tp in terms:
             tf = tp.lookup_tfs(docs)
             m = tf > 0
             if m.any():

@@ -77,3 +77,65 @@ def test_pandas_tokenizer_field_prefix(spark):
     df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, content string")
     out = tokenize_pairs_pandas(df, "doc_id", "content", field_prefix="title").collect()
     assert sorted(r["term"] for r in out) == ["title_alpha", "title_beta"]
+
+
+def test_word_map_field_prefix_parity_arrow_vs_pandas(spark, tmp_path_factory):
+    """IndexConfig word_map/field_prefix must produce byte-identical postings
+    on the arrow (default) and sortstream tokenizers, with mapped terms
+    merging their counts (ms→microsoft + literal microsoft combine)."""
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    corpus = generate_corpus(spark, 300, seed=12)
+    wmap = {"util1": "helper", "import": "include"}
+    outs, dirs = {}, {}
+    for impl in ("arrow", "sortstream"):
+        out = str(tmp_path_factory.mktemp(f"wm_{impl}"))
+        build_index(
+            spark, corpus, out,
+            IndexConfig(postings_impl=impl, word_map=wmap, field_prefix="body"),
+            order_cols=("repo", "path", "commit"),
+        )
+        outs[impl] = _fingerprint(spark, out)
+        dirs[impl] = out
+    assert outs["arrow"] == outs["sortstream"]
+    tdf = spark.read.parquet(f"{dirs['arrow']}/term_stats")
+    names = {r["term"] for r in tdf.select("term").collect()}
+    assert "body_helper" in names and "body_include" in names
+    assert "body_util1" not in names and "body_import" not in names
+    assert all(t.startswith("body_") for t in names)
+
+
+def test_collect_impl_refuses_word_map(spark, tmp_path_factory):
+    from edgesearch_spark.build import IndexConfig, build_index
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_index(
+            spark, generate_corpus(spark, 10, seed=1), str(tmp_path_factory.mktemp("wm_bad")),
+            IndexConfig(postings_impl="collect", word_map={"a": "b"}),
+            order_cols=("repo", "path", "commit"),
+        )
+
+
+def test_postings_file_size_budget(spark, tmp_path_factory):
+    """B12: maxRecordsPerFile derived from measured bytes/row keeps postings
+    files near the configured byte target even when one range partition holds
+    far more rows."""
+    import os
+
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("sized"))
+    build_index(
+        spark, generate_corpus(spark, 1200, seed=13), out,
+        IndexConfig(target_file_bytes=24 << 10, num_partitions=4),
+        order_cols=("repo", "path", "commit"),
+    )
+    sizes = []
+    for f in os.listdir(f"{out}/postings"):
+        if f.endswith(".parquet"):
+            sizes.append(os.path.getsize(f"{out}/postings/{f}"))
+    assert len(sizes) > 4, "budget should split beyond the 4 range partitions"
+    # parquet per-file floor is a few KB of footer; assert no file blows past
+    # the target by more than the expected overhead factor
+    assert max(sizes) < (24 << 10) * 4, sorted(sizes)[-3:]

@@ -52,15 +52,40 @@ def test_wand_rank_identical_to_exhaustive(engine, oracle):
         assert np.allclose(got.scores, want.scores, atol=1e-9), q
 
 
-def test_wand_fallback_paths_match(engine, oracle):
-    for q in [
-        Query.make(require=["import"], contain=["util1"], k=10),
-        Query.make(contain=["import"], exclude=["error"], k=10),
-        Query.make(),
-    ]:
+MIXED_QUERIES = [
+    Query.make(require=["import"], contain=["util1"], k=10),
+    Query.make(contain=["import"], exclude=["error"], k=10),
+    Query.make(require=["import", "return"], contain=["the", "license", "util2"], k=15),
+    Query.make(require=["value"], contain=["util9"], exclude=["test", "main"], k=20),
+    Query.make(require=["import"], k=25, continuation=5),
+    Query.make(require=["license"], contain=["license", "import"], k=10),  # r/c overlap
+    Query.make(require=["zzz_missing"], contain=["import"], k=10),
+    Query.make(require=["import"], contain=["zzz_missing"], k=10),
+    Query.make(),
+]
+
+
+def test_wand_mixed_mode_rank_identical(engine, oracle):
+    """require/exclude queries now run THROUGH the pruned kernel (candidate
+    filter), not around it — scores, totals, pages, continuations all match
+    the exhaustive oracle."""
+    for q in MIXED_QUERIES:
         got = engine.search_bm25_wand(q)
         want = oracle.search_bm25(q)
-        assert (got.total, list(got.doc_ids)) == (want.total, list(want.doc_ids)), q
+        assert got.total == want.total, q
+        assert got.continuation == want.continuation, q
+        assert list(got.doc_ids) == list(want.doc_ids), q
+        assert np.allclose(got.scores, want.scores, atol=1e-9), q
+
+
+def test_union_total_metadata_path(engine, oracle):
+    """_union_total (metadata counts + overlap-only decode) must equal the
+    brute union cardinality for every contain query."""
+    for q in WAND_QUERIES:
+        present = [p for p in engine.fetch_terms(list(q.contain)).values() if p is not None]
+        got = engine._union_total(present)
+        want = int(np.unique(np.concatenate([p.all_docs() for p in present])).size)
+        assert got == want, q
 
 
 def test_wand_actually_prunes(engine):
