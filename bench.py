@@ -46,6 +46,25 @@ BM25_BATCH = [
     ("bm25_mixed", Query.make(contain=["license", "util3", "helper9"])),
     ("bm25_full", Query.make(require=["the"], contain=["util1", "util2"], exclude=["error"])),
 ]
+WAND_BATCH = [
+    ("wand_contain", Query.make(contain=["license", "util3", "helper9"]), True),
+    ("wand_contain_fast", Query.make(contain=["license", "util3", "helper9"]), False),
+    ("wand_mixed", Query.make(require=["the"], contain=["util1", "util2"], exclude=["error"]), True),
+]
+
+
+def _postings_stats(index_dir: str) -> dict:
+    """Adaptive-codec footprint from the build manifest (payload bytes /
+    total postings → bits per posting)."""
+    try:
+        with open(os.path.join(index_dir, "_manifest", "postings.json")) as f:
+            m = json.load(f)["extra"]
+        return {
+            "payload_bytes": m["payload_bytes"],
+            "bits_per_posting": round(8 * m["payload_bytes"] / max(1, m["total_postings"]), 3),
+        }
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -101,6 +120,12 @@ def main() -> None:
         dt = time.monotonic() - t0
         queries[name] = round(dt, 4)
         lat.append(dt)
+    for name, q, exact in WAND_BATCH:
+        t0 = time.monotonic()
+        eng.search_bm25_wand(q, exact_total=exact)
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 4)
+        lat.append(dt)
     query_p50 = statistics.median(lat)
     query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
 
@@ -127,6 +152,7 @@ def main() -> None:
                     "build_sec": round(build_sec, 2),
                     "query_p50_sec": round(query_p50, 4),
                     "query_p95_sec": round(query_p95, 4),
+                    **_postings_stats(out),
                 },
             }
         )

@@ -277,16 +277,26 @@ class SearchEngine:
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
         self._cache: dict[str, TermPostings | LazyTermPostings | None] = {}
         self._df_cache: dict[str, int | None] = {}
+        self._dict_complete = False  # warm() may load the whole term dict
         self._doclens: np.ndarray | None = None
 
-    def warm(self) -> "SearchEngine":
-        """Pin the postings table in executor memory (Spark cache) and load
-        the norms — the serving posture for repeated queries. At 10^12-doc
-        scale one caches the hot term range, not the whole table; the filter
-        pushdown path is identical either way."""
+    def warm(self, max_dict_terms: int = 2_000_000) -> "SearchEngine":
+        """Pin the postings table in executor memory (Spark cache), load the
+        norms, and (when the dictionary fits) pull the whole term→df map to
+        the driver so query routing never runs a term_stats job — the serving
+        posture for repeated queries. At 10^12-doc scale one caches the hot
+        term range, not the whole table; the filter pushdown path is
+        identical either way."""
         self._postings_df = self._postings_df.cache()
         self._postings_df.count()
         _ = self.doclens
+        rows = self._term_stats_df.select("term", "df").limit(max_dict_terms + 1).collect()
+        if len(rows) <= max_dict_terms:
+            dfs: dict[str, int] = {}
+            for r in rows:  # multi-segment unions: one row per segment
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+            self._df_cache.update(dfs)
+            self._dict_complete = True
         return self
 
     # ---- doc-length norms cache (Lucene-norms analogue) ----
@@ -302,6 +312,10 @@ class SearchEngine:
     # ---- term existence + df from the (tiny) term_stats table ----
     def _term_dfs(self, terms: list[str]) -> dict[str, int | None]:
         missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing and self._dict_complete:
+            for t in missing:
+                self._df_cache[t] = None  # complete dict ⇒ absent term
+            missing = []
         if missing:
             rows = (
                 self._term_stats_df.filter(F.col("term").isin(missing))

@@ -151,6 +151,7 @@ class MultiSegmentEngine(SearchEngine):
         self._docs_df = spark.read.parquet(*[f"{s}/docs" for s in segment_dirs])
         self._cache = {}
         self._df_cache = {}
+        self._dict_complete = False
         self._doclens = None
 
     @property
