@@ -54,17 +54,24 @@ WAND_BATCH = [
 
 
 def _postings_stats(index_dir: str) -> dict:
-    """Adaptive-codec footprint from the build manifest (payload bytes /
-    total postings → bits per posting)."""
+    """Adaptive-codec footprint + per-stage wall times from the build
+    manifests (payload bytes / total postings → bits per posting)."""
+    out: dict = {}
     try:
         with open(os.path.join(index_dir, "_manifest", "postings.json")) as f:
             m = json.load(f)["extra"]
-        return {
-            "payload_bytes": m["payload_bytes"],
-            "bits_per_posting": round(8 * m["payload_bytes"] / max(1, m["total_postings"]), 3),
+        out["payload_bytes"] = m["payload_bytes"]
+        out["bits_per_posting"] = round(8 * m["payload_bytes"] / max(1, m["total_postings"]), 3)
+    except Exception:
+        pass
+    try:
+        out["stage_seconds"] = {
+            s: round(json.load(open(os.path.join(index_dir, "_manifest", f"{s}.json")))["seconds"], 2)
+            for s in ("docs", "stats", "postings", "terms")
         }
     except Exception:
-        return {}
+        pass
+    return out
 
 
 def main() -> None:

@@ -65,3 +65,23 @@ def fingerprint_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (rolling-hash fingerprinting's cheap cousin; stable across formatting)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     return df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+# GPT-2-style pretokenizer, ASCII-simplified so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte: a token is an optionally space-prefixed
+# letter run, digit run, or punctuation run, or a whitespace run.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+"
+
+
+def bpe_ish_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Subword-style token counting (the training-data costing signal):
+    counts matches of a BPE-pretokenizer-shaped regex and the ratio to
+    whitespace tokens (≈ subword fan-out). Pure JVM regexp_count."""
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    ws = F.size(F.filter(F.split(F.col(text_col), " +"), lambda t: t != F.lit(""))).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        bpe.alias("bpe_tokens"),
+        ws.alias("ws_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("fanout"),
+    )

@@ -184,3 +184,75 @@ def ann_lsh_topk(
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("bucket").isin([int(x) for x in probe]))
     return cosine_topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1]^dim (same counter-
+    based arithmetic as ``hyperplanes`` — reproducible everywhere, no RNG
+    state; at production scale these would come from a k-means pass, the
+    assignment/probe plans below are identical either way)."""
+    return [
+        [(_mix32(c + 7919, i, seed) % 2001 - 1000) / 1000.0 for i in range(dim)]
+        for c in range(n_centroids)
+    ]
+
+
+def _cos_with_lit(vec_col: F.Column, centroid: list[float]) -> F.Column:
+    import math
+
+    cn = math.sqrt(sum(x * x for x in centroid)) or 1.0
+    return _dot_with_lit(vec_col, centroid) / (_norm(vec_col) * F.lit(cn))
+
+
+def ivf_cell_col(vec_col: F.Column, centroids: list[list[float]]) -> F.Column:
+    """IVF cell id = argmax-cosine centroid (first max wins on ties) — the
+    coarse quantizer of an IVF index, as one JVM expression."""
+    cos = F.array(*[_cos_with_lit(vec_col, c) for c in centroids])
+    return (F.array_position(cos, F.array_max(cos)) - 1).cast("long")
+
+
+def ivf_cells(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 7,
+    vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """(cell, n_vecs) histogram — the partition layout an IVF index writes
+    (cell is the partition/cluster key at write time; a probe scans only its
+    cells' partitions). Fully oracle-checkable: centroids are deterministic."""
+    dim = dim or len(emb.select(vec_col).first()[0])
+    cents = ivf_centroids(dim, n_centroids, seed)
+    return (
+        emb.select(ivf_cell_col(F.col(vec_col), cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    ``nprobe`` closest cells, brute-force within them. At scale the cell
+    column is a partition key, so the scan prunes to nprobe/n_centroids of
+    the data; recall grows with nprobe (nprobe = n_centroids ⇒ exact)."""
+    import math
+
+    dim = dim or len(qvec)
+    cents = ivf_centroids(dim, n_centroids, seed)
+    qn = math.sqrt(sum(float(x) ** 2 for x in qvec)) or 1.0
+
+    def qcos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(float(a) * b for a, b in zip(qvec, c)) / (qn * cn)
+
+    probe = sorted(range(n_centroids), key=lambda c: -qcos(cents[c]))[: max(1, nprobe)]
+    cells = emb.withColumn("cell", ivf_cell_col(F.col(vec_col), cents))
+    cand = cells.filter(F.col("cell").isin([int(c) for c in probe]))
+    return cosine_topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col)

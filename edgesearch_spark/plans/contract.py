@@ -536,6 +536,41 @@ SELECT CAST({bucket} AS BIGINT) AS bucket, count(*) AS n_vecs FROM e GROUP BY bu
 SQL_ANN_LSH_BUCKETS = _sql_ann_lsh_buckets()
 
 
+def q_ann_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer assignment (the partition layout an IVF index
+    writes; argmax-cosine over deterministic centroids). The oracle inlines
+    the centroids with the same sequential-fold arithmetic, so every
+    assignment matches bit-for-bit including ties (first max wins)."""
+    from ..operators.similarity import ivf_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_cells(emb, n_centroids=16, seed=7)
+
+
+def _sql_ann_ivf_cells(n_centroids: int = 16, seed: int = 7, dim: int = 64) -> str:
+    import math
+
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    norm_v = "sqrt(0.0 + " + " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(dim)) + ")"
+    cos_exprs = []
+    for c in cents:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        dot = " + ".join(f"v[{i + 1}] * ({c[i]!r})" for i in range(dim))
+        cos_exprs.append(f"(0.0 + {dot}) / (nv * ({cn!r}))")
+    lst = "[" + ", ".join(cos_exprs) + "]"
+    return f"""
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT v, {norm_v} AS nv FROM e),
+cells AS (SELECT CAST(list_position({lst}, list_max({lst})) - 1 AS BIGINT) AS cell FROM n)
+SELECT cell, count(*) AS n_vecs FROM cells GROUP BY cell
+"""
+
+
+SQL_ANN_IVF_CELLS = _sql_ann_ivf_cells()
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -611,6 +646,30 @@ SELECT doc_id,
        length(text) AS n_chars
 FROM documents
 """
+
+
+def q_token_bpe(spark, sf_dir):
+    """BPE-pretokenizer-shaped subword counting (training-data costing):
+    the regex is ASCII-simplified so Java regex and RE2 agree exactly."""
+    from ..functions.textstats import bpe_ish_tokens
+
+    return bpe_ish_tokens(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_token_bpe() -> str:
+    from ..functions.textstats import BPE_ISH_PATTERN
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+       len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS ws_tokens,
+       round(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) * 1.0
+             / greatest(len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')), 1), 4) AS fanout
+FROM documents
+"""
+
+
+SQL_TOKEN_BPE = _sql_token_bpe()
 
 
 def q_fingerprint(spark, sf_dir):
@@ -858,11 +917,13 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),

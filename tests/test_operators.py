@@ -141,3 +141,43 @@ def test_embedding_near_dup_lsh_recall(spark, emb):
     assert lsh <= exact
     missed = planted - lsh
     assert len(missed) <= 1, missed  # OR-amplified recall ≈ 100% at cos≥0.99
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe = n_centroids scans every cell ⇒ identical to exact top-k."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(base, q, k=8).collect()]
+    full = [(r["vec_id"], r["cos_sim"]) for r in
+            ann_ivf_topk(base, q, k=8, n_centroids=8, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_probe_recall_on_planted_neighbors(spark, emb):
+    """Vectors nearly identical to the query land in the query's cell, so
+    even nprobe=1 finds planted near-duplicates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.operators.similarity import ann_ivf_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = [(10_000 + i, [float(v) + 0.001 * i for v in q]) for i in range(3)]
+    df = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>"))
+    got = {r["vec_id"] for r in ann_ivf_topk(df, q, k=3, n_centroids=8, nprobe=1).collect()}
+    assert got == {10_000, 10_001, 10_002}
+
+
+def test_bpe_ish_tokens_shapes(spark, docs):
+    from edgesearch_spark.functions.textstats import bpe_ish_tokens
+
+    rows = bpe_ish_tokens(docs, "doc_id", "text").collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["bpe_tokens"] >= r["ws_tokens"] >= 0  # subwords never fewer than words
+        assert r["fanout"] >= 1.0 or r["ws_tokens"] == 0
