@@ -388,15 +388,20 @@ _SH_CTE = f"""
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {_SH_CTE},
+dg AS (
+  SELECT doc_id, j, md5(j::VARCHAR || ':' || shingle) AS d
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+),
 hx AS (
-  SELECT doc_id, seed, md5(seed::VARCHAR || ':' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  SELECT doc_id, j * 2 AS seed, CAST('0x' || substring(d, 1, 14) AS BIGINT) AS h FROM dg
+  UNION ALL
+  SELECT doc_id, j * 2 + 1 AS seed, CAST('0x' || substring(d, 16, 14) AS BIGINT) AS h FROM dg
 ),
 sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hx GROUP BY doc_id, seed),
 banded AS (
   SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-         md5(string_agg(seed::VARCHAR || ':' || minhash, ','
-                        ORDER BY seed::VARCHAR || ':' || minhash)) AS band_hash
+         md5(string_agg(seed::VARCHAR || ':' || minhash::VARCHAR, ','
+                        ORDER BY seed::VARCHAR || ':' || minhash::VARCHAR)) AS band_hash
   FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b

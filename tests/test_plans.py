@@ -69,3 +69,16 @@ def test_doc_fetch_join_broadcasts(spark, index_dir):
     eng = SearchEngine(spark, index_dir)
     plan = plan_of(eng.fetch_docs([1, 2, 3]))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lazy_metadata_scan_prunes_payload_column(spark, index_dir):
+    """The hot-term metadata fetch must never read the payload column: its
+    ReadSchema at the parquet scan excludes `payload` (column pruning is the
+    entire point of metadata-first laziness)."""
+    from edgesearch_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    meta = eng._postings_df.select(*SearchEngine._META_COLS).filter(F.col("term") == "import")
+    plan = plan_of(meta)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("payload" not in ln for ln in rs), plan

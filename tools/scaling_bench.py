@@ -154,8 +154,12 @@ def main() -> None:
         f"- pure-CPU burn loop (no memory traffic): **{ceiling:.2f}×** — SMT siblings +",
         "  host oversubscription cap even embarrassingly parallel compute below 4.0×.",
         f"- big-array copy bandwidth: **{bw8:.1f} GB/s at 8 procs → {bw32:.1f} GB/s at 32",
-        f"  procs = {bw_ratio:.2f}×** — memory bandwidth *degrades* past 8 threads on this",
-        "  host, so any shuffle/sort/transfer-bound stage has a ceiling BELOW 1.0×.",
+        f"  procs = {bw_ratio:.2f}×**"
+        + (" — memory bandwidth scales WORSE than compute here, capping shuffle/sort/transfer-bound stages harder."
+           if bw_ratio < ceiling else
+           " — the memory-traffic ceiling; both controls sit well under the ideal 4.0×."),
+        "  (Both controls swing with co-tenant load; they are sampled in the same window",
+        "  as the pairs above.)",
         f"- **efficiency vs the compute ceiling: {eff_vs_ceiling:.2f}**; the build blends",
         "  CPU-bound stages (tokenize/encode) with memory-bound ones (shuffle/sort/Arrow",
         "  transfer), so its achievable band on this box lies between the two controls.",
