@@ -181,3 +181,65 @@ def test_bpe_ish_tokens_shapes(spark, docs):
     for r in rows[:20]:
         assert r["bpe_tokens"] >= r["ws_tokens"] >= 0  # subwords never fewer than words
         assert r["fanout"] >= 1.0 or r["ws_tokens"] == 0
+
+
+def _make_ppm(w, h, val):
+    import numpy as np
+    px = np.full((h, w, 3), val, np.uint8)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _make_bmp(w, h, val):
+    import numpy as np
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = val
+    header = (b"BM" + (54 + stride * h).to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+              + bytes(20))
+    return header + rows.tobytes()
+
+
+def _make_wav(n, rate=8000, channels=1, amp=1000):
+    import numpy as np
+    data = (np.ones(n * channels, np.int16) * amp).tobytes()
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+           + (rate * channels * 2).to_bytes(4, "little") + (channels * 2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_image_decode_ppm_bmp(spark):
+    from edgesearch_spark.operators.multimodal import image_features, resize_nearest, decode_image
+
+    rows = [(1, bytearray(_make_ppm(7, 5, 100))), (2, bytearray(_make_bmp(6, 4, 30)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_features(df, "doc_id", "payload").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_pixel"]) == (7, 5, 100.0)
+    assert (got[2]["width"], got[2]["height"], got[2]["mean_pixel"]) == (6, 4, 30.0)
+    small = resize_nearest(decode_image(_make_ppm(8, 8, 9)), 2, 4)
+    assert small.shape == (2, 4, 3) and (small == 9).all()
+
+
+def test_real_audio_decode_wav(spark):
+    from edgesearch_spark.operators.multimodal import audio_features
+
+    rows = [(1, bytearray(_make_wav(500, rate=16000, channels=2, amp=2000)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r = audio_features(df, "doc_id", "payload").collect()[0]
+    assert (r["n_samples"], r["sample_rate"], r["channels"]) == (500, 16000, 2)
+    assert abs(r["rms"] - 2000.0) < 1e-9
+
+
+def test_real_frame_sampling_ppm_stream(spark):
+    from edgesearch_spark.operators.multimodal import frame_sample_ppm, decode_image
+
+    video = b"".join(_make_ppm(4, 3, v) for v in (10, 20, 30, 40, 50))
+    df = spark.createDataFrame([(7, bytearray(video))], "doc_id long, payload binary")
+    frames = sorted(frame_sample_ppm(df, "doc_id", "payload", every_n=2).collect(),
+                    key=lambda r: r["frame_idx"])
+    assert [f["frame_idx"] for f in frames] == [0, 2, 4]
+    vals = [int(decode_image(bytes(f["frame_bytes"])).mean()) for f in frames]
+    assert vals == [10, 30, 50]
