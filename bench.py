@@ -77,7 +77,7 @@ def _postings_stats(index_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "200000"))
+    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "500000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="edgesearch-bench", cores=cpus, shuffle_partitions=cpus)
 

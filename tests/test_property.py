@@ -30,6 +30,22 @@ def engines(spark, tmp_path_factory):
     return SearchEngine(spark, out), BruteForceOracle(list(zip(range(len(pdf)), pdf["content"])))
 
 
+def test_random_queries_match_oracle_lazy_engine(spark, engines, tmp_path_factory):
+    """Same parity property with EVERY term served lazily (lazy_min_df=1):
+    the metadata-first/shard-fetch path must be indistinguishable."""
+    eager, oracle = engines
+    lazy = SearchEngine(spark, eager.index_dir, lazy_min_df=1)
+    rng = random.Random(4040)
+    for i in range(25):
+        q = _random_query(rng)
+        b_got, b_want = lazy.search(q), oracle.search(q)
+        assert (b_got.total, b_got.continuation, list(b_got.doc_ids)) == (
+            b_want.total, b_want.continuation, b_want.doc_ids), (i, q)
+        s_got, s_want = lazy.search_bm25(q), oracle.search_bm25(q)
+        assert list(s_got.doc_ids) == s_want.doc_ids, (i, q)
+        assert np.allclose(s_got.scores, s_want.scores, atol=1e-9), (i, q)
+
+
 def _random_query(rng: random.Random) -> Query:
     def pick(n):
         return rng.sample(VOCAB, k=rng.randint(0, n))
@@ -55,6 +71,9 @@ def test_random_queries_match_oracle(engines):
         assert (s_got.total, s_got.continuation, list(s_got.doc_ids)) == (
             s_want.total, s_want.continuation, s_want.doc_ids), (i, q)
         assert np.allclose(s_got.scores, s_want.scores, atol=1e-9), (i, q)
-        if not q.require and not q.exclude and q.contain:
+        if q.require or q.contain:
+            # the pruned kernel covers contain-only AND mixed require/exclude
             w = engine.search_bm25_wand(q)
             assert (w.total, list(w.doc_ids)) == (s_want.total, s_want.doc_ids), (i, q)
+            assert np.allclose(w.scores, s_want.scores, atol=1e-9), (i, q)
+            assert w.continuation == s_want.continuation, (i, q)
