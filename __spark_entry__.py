@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
-    r = eng.search_bm25(Query.make(require=["table"], contain=BM25_TERMS, k=50))
+    # block-max WAND kernel, mixed require+contain — rank-identical to the
+    # exhaustive scorer (tests/test_wand.py, tests/test_property.py)
+    r = eng.search_bm25_wand(Query.make(require=["table"], contain=BM25_TERMS, k=50))
     ranked = spark.createDataFrame(
         [(i, int(d), float(s)) for i, (d, s) in enumerate(zip(r.doc_ids, r.scores))],
         "rank long, doc_id long, score double",
