@@ -505,6 +505,63 @@ WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.
 """
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The SCALE path for embedding near-dup: candidates from OR-amplified
+    hyperplane-LSH band buckets (equi-join, never a cross join), exact cosine
+    filter on candidates only. Oracled end-to-end: buckets, join, and the
+    cosine filter all reproduce bit-for-bit from inlined plane literals.
+    (The 0.42 threshold exists only because the driver's synthetic vectors
+    top out at pair-cos ≈0.51 — far below LSH's effective band, so recall
+    here is intentionally partial; the recall PROPERTY is tested at
+    cos ≥ 0.99 with planted near-dups in tests/test_operators.py.)"""
+    from ..operators.similarity import embedding_near_dup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_lsh(emb, threshold=0.42, n_planes=8, n_bands=4, seed=42)
+
+
+def _sql_embedding_near_dup_lsh(
+    threshold: float = 0.42, n_planes: int = 8, n_bands: int = 4, seed: int = 42, dim: int = 64
+) -> str:
+    from ..operators.similarity import _mix32
+
+    band_cols = []
+    for band in range(n_bands):
+        parts = []
+        for p in range(n_planes):
+            ks = [_mix32(p, i, seed + 1000 * band) % 2001 - 1000 for i in range(dim)]
+            dot = " + ".join(
+                f"v[{i + 1}] * (CAST({k} AS DOUBLE) / CAST(1000 AS DOUBLE))" for i, k in enumerate(ks)
+            )
+            parts.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << p} ELSE 0 END)")
+        band_cols.append("(" + " + ".join(parts) + f") AS bkt{band}")
+    bucket_sql = ",\n         ".join(band_cols)
+    norm = "sqrt(0.0 + " + " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(dim)) + ")"
+    dot_ab = "0.0 + " + " + ".join(f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(dim))
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, v, nrm, {b} AS band, bkt{b} AS bucket FROM base" for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+base AS (
+  SELECT vec_id, v, {norm} AS nrm,
+         {bucket_sql}
+  FROM e
+),
+banded AS (
+{bands_union}
+)
+SELECT DISTINCT a.id AS a, b.id AS b,
+       round(({dot_ab}) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+WHERE round(({dot_ab}) / (a.nrm * b.nrm), 4) >= CAST({threshold} AS DOUBLE)
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _sql_embedding_near_dup_lsh()
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucketing (scale path for ANN): deterministic planes,
     bucket signature per vector; returns bucket histogram. The planes are
@@ -921,6 +978,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMBEDDING_NEAR_DUP_LSH),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
