@@ -561,6 +561,11 @@ class SearchEngine:
 
             tp = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
             present = [p for p in tp.values() if p is not None]
+            if not present:
+                # no scoring term exists (e.g. all contain terms missing on an
+                # exclude-quirk candidate set): every candidate scores 0 and
+                # pages by docID — the exhaustive path, nothing to prune
+                return self.search_bm25(q)
         else:
             tp = self.fetch_terms(list(q.contain))
             present = [p for p in tp.values() if p is not None]

@@ -125,3 +125,25 @@ def test_multisegment_wand_is_rank_safe(spark, corpus_parts, tmp_path_factory):
     w, e = multi.search_bm25_wand(q), multi.search_bm25(q)
     assert list(w.doc_ids) == list(e.doc_ids)
     assert np.allclose(w.scores, e.scores, atol=1e-12)
+
+
+def test_multisegment_lazy_parity(spark, corpus_parts, tmp_path_factory):
+    """Lazy hot-term serving must compose with segment unions: a
+    MultiSegmentEngine with everything lazy returns identical results
+    (shards of one term span segments; the (salt, first_doc) ordering and
+    shard fetch must handle that)."""
+    root = str(tmp_path_factory.mktemp("lazy_multi"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    for epoch in range(3):
+        indexer.ingest_batch(spark.read.parquet(f"{corpus_parts}/drop_{epoch}"), epoch)
+    eager = indexer.engine()
+    lazy = indexer.engine()
+    lazy.lazy_min_df = 1
+    for q in QUERIES[:4]:
+        a, b = eager.search(q), lazy.search(q)
+        assert (a.total, a.continuation, list(a.doc_ids)) == (b.total, b.continuation, list(b.doc_ids)), q
+        sa, sb = eager.search_bm25(q), lazy.search_bm25(q)
+        assert list(sa.doc_ids) == list(sb.doc_ids), q
+        assert np.allclose(sa.scores, sb.scores, atol=1e-12), q
+    from edgesearch_spark.engine import LazyTermPostings
+    assert any(isinstance(p, LazyTermPostings) for p in lazy._cache.values() if p)

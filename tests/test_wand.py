@@ -61,6 +61,10 @@ MIXED_QUERIES = [
     Query.make(require=["license"], contain=["license", "import"], k=10),  # r/c overlap
     Query.make(require=["zzz_missing"], contain=["import"], k=10),
     Query.make(require=["import"], contain=["zzz_missing"], k=10),
+    # every scoring term missing on an exclude-quirk candidate set: all
+    # candidates score 0 and page by docID — wand must match, not prune
+    Query.make(contain=["zzz_missing"], exclude=["import"], k=10),
+    Query.make(contain=["zzz_missing"], exclude=["import"], k=10, continuation=5),
     Query.make(),
 ]
 
