@@ -224,3 +224,20 @@ def test_concat_preserves_kinds():
     assert m.first_doc.tolist() == a.first_doc.tolist() + b.first_doc.tolist()
     d, t = decode_all(m)
     assert d.tolist() == list(range(0, 100)) + [500 + 7 * i for i in range(40)]
+
+
+def test_containers_at_large_docids():
+    """Run/bitset selection and reconstruction at 10^12-scale docIDs (the
+    metadata first_doc carries the absolute base; streams stay small)."""
+    base = 10**12
+    docs = list(range(base, base + 200)) + [base + 10_000 + 2 * i for i in range(100)]
+    tfs = [1] * 200 + [3] * 100
+    pb = _mk(docs, tfs, block_size=128)
+    kinds = [int(k) & KIND_DOC_MASK for k in pb.kinds]
+    assert DOC_RUN in kinds  # the consecutive range picked run containers
+    d, t = decode_all(pb)
+    assert d.tolist() == docs and t.tolist() == tfs
+    for i in range(pb.n_blocks):
+        lo = int(np.cumsum(pb.counts)[i - 1]) if i else 0
+        db, tb = decode_block(pb, i)
+        assert db.tolist() == docs[lo : lo + int(pb.counts[i])]
