@@ -43,7 +43,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codec import encode_postings
 from .docids import assign_doc_ids
 from .tokenizer import tokenize_pairs
 

@@ -87,16 +87,6 @@ def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_all_docs(pb: PostingBlocks) -> np.ndarray:
-    """All docIDs of a posting list (sorted); vectorized single-pass decode."""
-    return decode_all(pb)[0]
-
-
-def intersect_candidates(cands: np.ndarray, pb: PostingBlocks) -> np.ndarray:
-    """cands ∩ posting list, decoding only candidate-bearing blocks."""
-    return cands[lookup_tfs(pb, cands) > 0]
-
-
 class TermPostings:
     __slots__ = ("term", "df", "max_weight", "blocks")
 
