@@ -72,11 +72,17 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            # EXACT first — the driver hashes raw values, so a 1e-12 float
+            # drift that atol would forgive still fails the real gate
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"PASS {name}: {len(a)} rows ({dt:.1f}s)")
             n_pass += 1
         except AssertionError as e:
-            print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+                print(f"FAIL {name}: values within 1e-9 but NOT bitwise equal (driver hash would fail): {str(e)[:200]}")
+            except AssertionError:
+                print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
