@@ -69,9 +69,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # 10k-row Arrow batches fragment pandas-UDF work into thousands of
         # tiny calls (measured: the posting encoder spent most of its time in
-        # per-batch overhead); 64k rows keeps tokenizer input batches ~60 MB
-        # while cutting encoder batch count ~6×
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # per-batch overhead); 128k rows keeps tokenizer input batches well
+        # under memory while cutting encoder batch count ~13× (measured a
+        # further ~9% off the encode stage vs 64k; 256k was flat)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         # shuffle spill/blocks in shared memory: local-mode shuffles stream
         # through spark.local.dir, and a disk-backed dir makes shuffle I/O a
         # core-count-independent bottleneck (this box: ~780 MB/s disk, 126 GB
