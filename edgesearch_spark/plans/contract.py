@@ -746,6 +746,34 @@ FROM documents
 """
 
 
+def q_pipeline_quality_dedup(spark, sf_dir):
+    """Training-data pipeline COMPOSITION: quality-filter → exact-dedup →
+    per-language survivor counts — the operators chain as one Catalyst plan
+    (filter pushes below the dedup aggregation; nothing materializes
+    in between)."""
+    from ..functions.textstats import quality_score
+    from ..operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs, "doc_id", "text").filter(F.col("n_tokens") >= 20)
+    kept = exact_dedup(docs.join(q.select("doc_id"), "doc_id", "left_semi"), "doc_id", "text")
+    survivors = docs.join(kept.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi")
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_PIPELINE_QUALITY_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+good AS (SELECT d.* FROM documents d JOIN toks USING (doc_id) WHERE n_tokens >= 20),
+kept AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY sha256(text))
+SELECT d.lang, count(*) AS n_docs
+FROM documents d JOIN kept USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 # ---------- multimodal plumbing (decode stubbed, Spark plumbing real) ----------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -988,6 +1016,7 @@ QUERIES = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "pipeline_quality_dedup": (q_pipeline_quality_dedup, SQL_PIPELINE_QUALITY_DEDUP),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "pivot_qty": (q_pivot_qty, SQL_PIVOT_QTY),

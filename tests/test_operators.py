@@ -243,3 +243,24 @@ def test_real_frame_sampling_ppm_stream(spark):
     assert [f["frame_idx"] for f in frames] == [0, 2, 4]
     vals = [int(decode_image(bytes(f["frame_bytes"])).mean()) for f in frames]
     assert vals == [10, 30, 50]
+
+
+def test_pipeline_example_end_to_end(spark, tmp_path_factory):
+    """The documented pipeline composition (quality → exact dedup → LSH
+    near-dup prune → index → WAND serve) runs end-to-end and each stage
+    monotonically shrinks the corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from pipeline_example import run_pipeline
+
+    from edgesearch_spark.corpus import generate_corpus
+    from edgesearch_spark.docids import assign_doc_ids
+
+    corpus = assign_doc_ids(generate_corpus(spark, 400, seed=11), ("repo", "path", "commit"))
+    out = str(tmp_path_factory.mktemp("pipe_idx"))
+    stats = run_pipeline(spark, corpus, out)
+    assert stats["input_docs"] == 400
+    assert stats["input_docs"] >= stats["after_quality"] >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+    assert stats["after_near_dedup"] > 0
+    assert stats["query_total"] > 0 and stats["query_top"]
