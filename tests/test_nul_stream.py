@@ -105,3 +105,30 @@ def test_mid_stream_empty_payload_is_a_document(spark, tmp_path_factory):
     rows = read_documents_file(spark, p).orderBy("doc_id").collect()
     assert [(r["doc_id"], r["content"]) for r in rows] == [
         (0, '{"a":1}'), (1, ""), (2, '{"b":2}')]
+
+
+def test_documents_positions_across_input_splits(spark, tmp_path_factory):
+    """Records split across Hadoop input-split boundaries must keep exact
+    positional docIDs (the classic delimiter-at-block-boundary failure).
+    Force many small splits over a ~1.5 MB file and check every position."""
+    d = tmp_path_factory.mktemp("nul_splits")
+    p = str(d / "documents")
+    docs = [f'{{"i":{i},"pad":"{"x" * (17 + (i * 7) % 91)}"}}' for i in range(10_000)]
+    with open(p, "wb") as f:
+        for doc in docs:
+            f.write(doc.encode() + b"\x00")
+    old = spark.sparkContext._jsc.hadoopConfiguration().get(
+        "mapreduce.input.fileinputformat.split.maxsize")
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.input.fileinputformat.split.maxsize", str(64 * 1024))
+    try:
+        rows = read_documents_file(spark, p).orderBy("doc_id").collect()
+    finally:
+        if old is None:
+            spark.sparkContext._jsc.hadoopConfiguration().unset(
+                "mapreduce.input.fileinputformat.split.maxsize")
+        else:
+            spark.sparkContext._jsc.hadoopConfiguration().set(
+                "mapreduce.input.fileinputformat.split.maxsize", old)
+    assert len(rows) == 10_000
+    assert [(r["doc_id"], r["content"]) for r in rows] == list(enumerate(docs))
