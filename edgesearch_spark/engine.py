@@ -98,9 +98,6 @@ class TermPostings:
     def n_blocks(self) -> int:
         return self.blocks.n_blocks
 
-    def block_max_weights(self) -> np.ndarray:
-        return self.blocks.max_weight
-
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(first_doc, max_doc, counts) per block — metadata only."""
         return self.blocks.first_doc, self.blocks.max_doc, self.blocks.counts
@@ -116,42 +113,114 @@ class TermPostings:
             return np.empty(0, np.int64)
         return np.concatenate([decode_block(self.blocks, int(i))[0] for i in block_idx])
 
+    # ---- WAND seeding protocol ----
+    def seed_docs(self, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
+        """Doc IDs of this term, decoding only blocks whose bound
+        idf_k·block_max_weight + bound_if_new can reach θ for an unseen doc."""
+        keep = (idf_k * self.blocks.max_weight.astype(np.float64) + bound_if_new) >= theta
+        skipped = int((~keep).sum())
+        if not keep.any():
+            return np.empty(0, np.int64), skipped
+        return self.decode_blocks_docs(np.flatnonzero(keep)), skipped
+
+    def bootstrap_docs(self, n_blocks: int) -> np.ndarray:
+        """Docs from the ``n_blocks`` highest-max_weight blocks — the θ
+        bootstrap sample (wand.py) that keeps the first seeding term from
+        ever decoding its whole list."""
+        mw = self.blocks.max_weight
+        if mw.size <= n_blocks:
+            return self.all_docs()
+        top = np.sort(np.argpartition(mw, -n_blocks)[-n_blocks:])
+        return self.decode_blocks_docs(top)
+
 
 class LazyTermPostings:
-    """Hot-term postings with driver-bounded memory: only block METADATA is
-    collected up front (the payload column is pruned from the scan); payload
-    bytes are fetched on demand at (term, salt)-shard granularity, and only
-    for shards that can contain a candidate. This is the driver-kernel
-    analogue of the reference worker streaming one chunk at a time
-    (script/src/main.ts:191-240) — at 10^12 docs a df≈N term's full posting
-    list is tens of GB and must never be collected whole; a require+rare
-    query touches only the rare term's salt ranges of it.
+    """Hot-term postings with TWO-LEVEL lazy metadata and driver-bounded
+    memory. Mirrors the reference's two-level chunk lookup (chunk first-keys
+    → in-chunk BST, src/build/chunks/mod.rs:24-26, bst.rs:111-131):
 
-    ``bytes_fetched`` counts actual payload bytes transferred (test-asserted
-    ≪ total_payload_bytes)."""
+      level 1 — one SUMMARY row per (term, salt) shard, aggregated inside
+        the scan (min/max docID, df, max weight, payload bytes, n_blocks):
+        O(df / 2^salt_shift) driver rows, ~40 B each — at df = 10^11 that is
+        ~60 MB of summaries instead of tens of GB of block metadata;
+      level 2 — block metadata (33 B / 128-posting block), fetched lazily
+        per candidate shard (payload column still pruned from that scan);
+      level 3 — payload bytes, fetched per shard only when blocks of that
+        shard actually decode.
+
+    This is the driver-kernel analogue of the reference worker streaming one
+    chunk at a time (script/src/main.ts:191-240) — a require+rare query
+    touches only the rare term's salt ranges of a df≈N list.
+
+    Counters (test-asserted): ``bytes_fetched`` payload bytes actually
+    transferred; ``meta_shards_fetched`` shards whose block metadata was
+    pulled — both ≪ totals for bounded query shapes.
+
+    Shards are docID-range-disjoint by construction (salt = doc_id >> shift
+    is a range bucket; multi-segment splits of one salt carry disjoint
+    global docID ranges), so candidate→shard routing is a searchsorted."""
 
     __slots__ = (
-        "term", "df", "max_weight", "_engine", "_salts", "_shard_meta",
-        "_shard_payload", "_blk_shard", "_first_doc", "_max_doc", "_max_w",
-        "bytes_fetched", "total_payload_bytes",
+        "term", "df", "max_weight", "_engine", "_salts", "_smin", "_smax",
+        "_smw", "_sdf", "_sbytes", "_snblocks", "_meta", "_payload",
+        "bytes_fetched", "total_payload_bytes", "meta_shards_fetched",
     )
 
-    def __init__(self, engine: "SearchEngine", term: str, meta_rows: list):
+    def __init__(self, engine: "SearchEngine", term: str, summary_rows: list):
         self._engine = engine
         self.term = term
-        # shards in docID order (salt, then first-block first_doc for
-        # multi-segment splits of one salt bucket)
-        shards = sorted(
-            meta_rows,
-            key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1),
-        )
+        # shards in docID order (salt, then min docID for multi-segment
+        # splits of one salt bucket — ranges are disjoint, so this is global
+        # docID order)
+        shards = sorted(summary_rows, key=lambda r: (r["salt"], r["min_doc"]))
         self.df = int(sum(r["df"] for r in shards))
         self._salts = [int(r["salt"]) for r in shards]
-        self._shard_meta = []
-        self._shard_payload: dict[int, PostingBlocks] = {}
-        blk_shard = []
-        for si, r in enumerate(shards):
-            meta = {
+        self._smin = np.array([r["min_doc"] for r in shards], dtype=np.int64)
+        self._smax = np.array([r["max_doc"] for r in shards], dtype=np.int64)
+        self._smw = np.array([r["max_weight"] for r in shards], dtype=np.float64)
+        self._sdf = np.array([r["df"] for r in shards], dtype=np.int64)
+        self._sbytes = np.array([r["payload_bytes"] for r in shards], dtype=np.int64)
+        self._snblocks = np.array([r["n_blocks"] for r in shards], dtype=np.int64)
+        self.max_weight = float(self._smw.max()) if self._smw.size else 0.0
+        self._meta: dict[int, dict] = {}
+        self._payload: dict[int, PostingBlocks] = {}
+        self.bytes_fetched = 0
+        self.meta_shards_fetched = 0
+        self.total_payload_bytes = int(self._sbytes.sum())
+
+    @property
+    def n_shards(self) -> int:
+        return int(self._smin.size)
+
+    # ---- level-2/3 fetches ----
+    def _match_rows(self, rows: list, need: list[int], what: str) -> dict[int, object]:
+        by_key = {(int(r["salt"]), int(r["block_first_doc"][0])): r
+                  for r in rows if r["block_first_doc"]}
+        out = {}
+        for s in need:
+            key = (self._salts[s], int(self._smin[s]))
+            if key not in by_key:
+                raise RuntimeError(
+                    f"postings {what} fetch for term={self.term!r} found no row for "
+                    f"shard (salt={key[0]}, first_doc={key[1]}) — the index under "
+                    f"{self._engine.index_dir!r} changed between the summary scan and "
+                    f"this lazy fetch (rewritten/compacted?); rebuild the engine"
+                )
+            out[s] = by_key[key]
+        return out
+
+    def _ensure_meta(self, shard_idx) -> None:
+        need = [int(s) for s in np.unique(shard_idx) if int(s) not in self._meta]
+        if not need:
+            return
+        salts = sorted({self._salts[s] for s in need})
+        rows = (
+            self._engine._postings_df.select(*SearchEngine._META_COLS)
+            .filter((F.col("term") == self.term) & F.col("salt").isin(salts))
+            .collect()
+        )
+        for s, r in self._match_rows(rows, need, "metadata").items():
+            self._meta[s] = {
                 "first_doc": np.array(r["block_first_doc"], dtype=np.int64),
                 "max_doc": np.array(r["block_max_doc"], dtype=np.int64),
                 "counts": np.array(r["block_count"], dtype=np.int32),
@@ -159,30 +228,10 @@ class LazyTermPostings:
                 "max_weight": np.array(r["block_max_weight"], dtype=np.float32),
                 "kinds": np.array(r["block_kind"], dtype=np.uint8),
             }
-            self._shard_meta.append(meta)
-            blk_shard.append(np.full(meta["counts"].size, si, dtype=np.int64))
-        self._blk_shard = np.concatenate(blk_shard) if blk_shard else np.empty(0, np.int64)
-        self._first_doc = np.concatenate([m["first_doc"] for m in self._shard_meta])
-        self._max_doc = np.concatenate([m["max_doc"] for m in self._shard_meta])
-        self._max_w = np.concatenate([m["max_weight"] for m in self._shard_meta])
-        self.max_weight = float(self._max_w.max()) if self._max_w.size else 0.0
-        self.bytes_fetched = 0
-        self.total_payload_bytes = int(sum(int(m["offsets"][-1]) for m in self._shard_meta))
+            self.meta_shards_fetched += 1
 
-    @property
-    def n_blocks(self) -> int:
-        return int(self._blk_shard.size)
-
-    def block_max_weights(self) -> np.ndarray:
-        return self._max_w
-
-    def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        counts = np.concatenate([m["counts"] for m in self._shard_meta])
-        return self._first_doc, self._max_doc, counts
-
-    # ---- shard payload fetch ----
-    def _ensure_shards(self, shard_idx: np.ndarray) -> None:
-        need = [int(s) for s in np.unique(shard_idx) if int(s) not in self._shard_payload]
+    def _ensure_payload(self, shard_idx) -> None:
+        need = [int(s) for s in np.unique(shard_idx) if int(s) not in self._payload]
         if not need:
             return
         salts = sorted({self._salts[s] for s in need})
@@ -191,65 +240,125 @@ class LazyTermPostings:
             .filter((F.col("term") == self.term) & F.col("salt").isin(salts))
             .collect()
         )
-        # rebuild shard order exactly as __init__ did, then keep needed ones
-        fetched = sorted(
-            rows, key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1)
-        )
-        by_key = {(int(r["salt"]), int(r["block_first_doc"][0])): r for r in fetched if r["block_first_doc"]}
-        for s in need:
-            m = self._shard_meta[s]
-            r = by_key[(self._salts[s], int(m["first_doc"][0]))]
-            self._shard_payload[s] = _row_to_blocks(r)
-            self.bytes_fetched += len(self._shard_payload[s].payload)
+        for s, r in self._match_rows(rows, need, "payload").items():
+            pb = _row_to_blocks(r)
+            self._payload[s] = pb
+            self.bytes_fetched += len(pb.payload)
+            if s not in self._meta:  # the full row carries metadata too
+                self._meta[s] = {
+                    "first_doc": pb.first_doc, "max_doc": pb.max_doc,
+                    "counts": pb.counts, "offsets": pb.offsets,
+                    "max_weight": pb.max_weight, "kinds": pb.kinds,
+                }
+                self.meta_shards_fetched += 1
 
-    def _blocks_for_docs(self, doc_ids: np.ndarray) -> np.ndarray:
-        blk = np.searchsorted(self._max_doc, doc_ids, side="left")
-        return blk[blk < self.n_blocks]
+    def _shards_for_docs(self, doc_ids: np.ndarray) -> np.ndarray:
+        s = np.searchsorted(self._smax, doc_ids, side="left")
+        return np.unique(s[s < self.n_shards])
 
     # ---- kernel interface ----
     def lookup_tfs(self, doc_ids: np.ndarray) -> np.ndarray:
         out = np.zeros(doc_ids.size, dtype=np.int64)
-        if doc_ids.size == 0 or self.n_blocks == 0:
+        if doc_ids.size == 0 or self.n_shards == 0:
             return out
-        blk = self._blocks_for_docs(doc_ids)
-        if blk.size == 0:
+        shards = self._shards_for_docs(doc_ids)
+        if shards.size == 0:
             return out
-        shards = np.unique(self._blk_shard[blk])
-        self._ensure_shards(shards)
+        self._ensure_payload(shards)
         for s in shards:
-            m = self._shard_meta[int(s)]
-            lo, hi = int(m["first_doc"][0]), int(m["max_doc"][-1])
+            lo, hi = int(self._smin[s]), int(self._smax[s])
             sel = (doc_ids >= lo) & (doc_ids <= hi)
             if sel.any():
-                out[sel] = lookup_tfs(self._shard_payload[int(s)], doc_ids[sel])
+                out[sel] = lookup_tfs(self._payload[int(s)], doc_ids[sel])
         return out
 
     def all_docs(self) -> np.ndarray:
-        """Full decode — fetches every shard. Kept for contain/exclude-union
-        queries with no require clause; bounded paths never call this."""
-        if self.n_blocks == 0:
+        """Full decode — fetches every shard. Only reachable below the
+        engine's hot_route_df budget; bigger unions are auto-routed to the
+        distributed plan and never materialize here."""
+        if self.n_shards == 0:
             return np.empty(0, np.int64)
-        self._ensure_shards(np.arange(len(self._shard_meta)))
-        return np.concatenate(
-            [decode_all(self._shard_payload[s])[0] for s in range(len(self._shard_meta))]
-        )
+        allsh = np.arange(self.n_shards)
+        self._ensure_payload(allsh)
+        return np.concatenate([decode_all(self._payload[s])[0] for s in range(self.n_shards)])
 
-    def decode_blocks_docs(self, block_idx: np.ndarray) -> np.ndarray:
-        if block_idx.size == 0:
+    # ---- _union_total interface: shard granularity ----
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Shard-level ranges (disjoint, sorted, exact counts) — the union
+        cardinality algebra in _union_total works at any granularity."""
+        return self._smin, self._smax, self._sdf
+
+    def decode_blocks_docs(self, idx: np.ndarray) -> np.ndarray:
+        """Indices are SHARD indices (matching block_ranges granularity)."""
+        if idx.size == 0:
             return np.empty(0, np.int64)
-        shards = self._blk_shard[block_idx]
-        self._ensure_shards(np.unique(shards))
-        shard_base = np.concatenate([[0], np.cumsum([m["counts"].size for m in self._shard_meta])])
+        shards = np.unique(idx)
+        self._ensure_payload(shards)
+        return np.concatenate([decode_all(self._payload[int(s)])[0] for s in shards])
+
+    # ---- WAND seeding protocol (two-level: shard skip, then block skip) ----
+    def seed_docs(self, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
+        keep_shard = (idf_k * self._smw + bound_if_new) >= theta
+        skipped = int(self._snblocks[~keep_shard].sum())
+        if not keep_shard.any():
+            return np.empty(0, np.int64), skipped
+        cand = np.flatnonzero(keep_shard)
+        self._ensure_meta(cand)
+        docs: list[np.ndarray] = []
+        fetch: list[int] = []
+        blocks_per_shard: dict[int, np.ndarray] = {}
+        for s in cand:
+            m = self._meta[int(s)]
+            keep_blk = (idf_k * m["max_weight"].astype(np.float64) + bound_if_new) >= theta
+            skipped += int((~keep_blk).sum())
+            if keep_blk.any():
+                fetch.append(int(s))
+                blocks_per_shard[int(s)] = np.flatnonzero(keep_blk)
+        if fetch:
+            self._ensure_payload(np.array(fetch))
+            for s in fetch:
+                pb = self._payload[s]
+                docs.extend(decode_block(pb, int(b))[0] for b in blocks_per_shard[s])
+        return (np.concatenate(docs) if docs else np.empty(0, np.int64)), skipped
+
+    def bootstrap_docs(self, n_blocks: int) -> np.ndarray:
+        """Docs from ~n_blocks highest-promise blocks: shards by max_weight
+        desc until the block budget is covered, then the top blocks within
+        those shards only — never touches the rest of the list."""
+        if self.n_shards == 0:
+            return np.empty(0, np.int64)
+        order = np.argsort(-self._smw, kind="stable")
+        take, acc = [], 0
+        for s in order:
+            take.append(int(s))
+            acc += int(self._snblocks[s])
+            if acc >= n_blocks:
+                break
+        self._ensure_meta(np.array(take))
+        mws = np.concatenate([self._meta[s]["max_weight"] for s in take])
+        owner = np.concatenate([np.full(self._meta[s]["max_weight"].size, s) for s in take])
+        local = np.concatenate([np.arange(self._meta[s]["max_weight"].size) for s in take])
+        if mws.size > n_blocks:
+            sel = np.argpartition(mws, -n_blocks)[-n_blocks:]
+        else:
+            sel = np.arange(mws.size)
+        fetch = np.unique(owner[sel])
+        self._ensure_payload(fetch)
         return np.concatenate(
-            [
-                decode_block(self._shard_payload[int(s)], int(b - shard_base[int(s)]))[0]
-                for b, s in zip(block_idx, shards)
-            ]
-        )
+            [decode_block(self._payload[int(owner[i])], int(local[i]))[0] for i in sel]
+        ) if sel.size else np.empty(0, np.int64)
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str, lazy_min_df: int | None = None):
+    # df budget above which union-shaped work auto-routes to the distributed
+    # plan (_search_distributed / _bm25_distributed): the driver never holds
+    # more than ~hot_route_df candidate docIDs. Class attribute so subclasses
+    # that skip __init__ (MultiSegmentEngine) inherit the posture.
+    hot_route_df: int = 5_000_000
+    last_route: str = "kernel"  # diagnostics: "kernel" | "distributed"
+
+    def __init__(self, spark: SparkSession, index_dir: str, lazy_min_df: int | None = None,
+                 hot_route_df: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
@@ -262,6 +371,8 @@ class SearchEngine:
         # terms with df above this are served lazily: metadata first, payload
         # per candidate-bearing shard — bounds driver memory on hot terms
         self.lazy_min_df: int = lazy_min_df if lazy_min_df is not None else 1_000_000
+        if hot_route_df is not None:
+            self.hot_route_df = hot_route_df
         self._postings_df = spark.read.parquet(f"{index_dir}/postings")
         self._term_stats_df = spark.read.parquet(f"{index_dir}/term_stats")
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
@@ -362,12 +473,24 @@ class SearchEngine:
                         pb,
                     )
             if hot:
-                meta = (
-                    self._postings_df.select(*self._META_COLS)
-                    .filter(F.col("term").isin(hot)).collect()
+                # level-1 summary scan: ONE aggregated row per (term, salt)
+                # shard — block metadata stays executor-side until a shard
+                # is an actual candidate (two-level lookup, reference
+                # src/build/chunks/mod.rs:24-26)
+                summ = (
+                    self._postings_df.filter(F.col("term").isin(hot))
+                    .select(
+                        "term", "salt", "df",
+                        F.element_at("block_first_doc", 1).alias("min_doc"),
+                        F.element_at("block_max_doc", -1).alias("max_doc"),
+                        F.array_max("block_max_weight").alias("max_weight"),
+                        F.element_at("block_offset", -1).alias("payload_bytes"),
+                        F.size("block_count").alias("n_blocks"),
+                    )
+                    .collect()
                 )
                 by_term = {}
-                for r in meta:
+                for r in summ:
                     by_term.setdefault(r["term"], []).append(r)
                 for t in hot:
                     self._cache[t] = LazyTermPostings(self, t, by_term[t]) if t in by_term else None
@@ -376,15 +499,52 @@ class SearchEngine:
     def idf(self, df: int) -> float:
         return float(idf_value(self.n_docs, df, self.stats.get("idf", "lucene")))
 
-    # ---- boolean result set (reference semantics incl. quirks) ----
-    def _result_docs(self, q: Query) -> np.ndarray | None:
-        """Sorted docID array, or None ⇒ default-results path."""
+    # ---- query-term fetch + routing ----
+    def _fetch_query_terms(self, q: Query) -> dict:
         n_terms = len(q.require) + len(q.contain) + len(q.exclude)
         if n_terms > self.max_query_terms:
             raise QueryTooLarge(n_terms)
-        tp = self.fetch_terms(list(q.require) + list(q.contain) + list(q.exclude))
+        return self.fetch_terms(list(q.require) + list(q.contain) + list(q.exclude))
+
+    def _route_distributed(self, q: Query, tp: dict, for_wand: bool = False) -> bool:
+        """True ⇒ this query's driver-kernel work is union-shaped beyond the
+        hot_route_df budget and must run as a Spark plan instead (same
+        results). Rules (VERDICT r2 'what's wrong #1'):
+
+          * require present: the kernel seeds from the smallest require list
+            and probes the rest — bounded unless even the SMALLEST require
+            df blows the budget (all-hot-require);
+          * contain-only, boolean/exhaustive: the union itself is the result
+            set, so ANY contain term above budget routes;
+          * contain-only, WAND: seeding is θ/block-bounded, so only the
+            all-hot case (min df above budget — no rare term to anchor θ
+            cheaply) routes;
+          * exclude-only: the quirk materializes the excluded union — any
+            hot exclude term routes."""
+        budget = self.hot_route_df
+        contain = [t for t in q.contain if tp[t] is not None]
+        exclude = [t for t in q.exclude if tp[t] is not None]
+        if q.require:
+            return min(tp[t].df for t in q.require) > budget
+        if contain:
+            dfs = [tp[t].df for t in contain]
+            # WAND's min-df shortcut only applies when it truly runs
+            # candidate-free (no exclude clause — even an all-missing one
+            # makes the kernel materialize the union as a candidate set)
+            return (min(dfs) if for_wand and not q.exclude else max(dfs)) > budget
+        if exclude:
+            return max(tp[t].df for t in exclude) > budget
+        return False
+
+    # ---- boolean result set (reference semantics incl. quirks) ----
+    def _result_docs(self, q: Query) -> np.ndarray | None:
+        """Sorted docID array, or None ⇒ default-results path."""
+        tp = self._fetch_query_terms(q)
         if any(tp[t] is None for t in q.require):
             return np.empty(0, np.int64)  # missing REQUIRE → instant empty
+        return self._bool_kernel(q, tp)
+
+    def _bool_kernel(self, q: Query, tp: dict) -> np.ndarray | None:
         contain = [t for t in q.contain if tp[t] is not None]
         exclude = [t for t in q.exclude if tp[t] is not None]
         if not q.require and not contain and not exclude:
@@ -444,26 +604,26 @@ class SearchEngine:
         return ordered[c : last + 1], (None if last == total - 1 else last + 1)
 
     def search(self, q: Query) -> SearchResult:
-        """Boolean mode — bit-for-bit reference semantics."""
-        docs = self._result_docs(q)
+        """Boolean mode — bit-for-bit reference semantics. Union-shaped
+        queries over terms hotter than hot_route_df run as a distributed
+        plan (identical results; the driver holds only the page)."""
+        tp = self._fetch_query_terms(q)
+        if any(tp[t] is None for t in q.require):
+            return SearchResult(0, None, [])
+        if self._route_distributed(q, tp):
+            self.last_route = "distributed"
+            return self._search_distributed(q, tp)
+        self.last_route = "kernel"
+        docs = self._bool_kernel(q, tp)
         if docs is None:
             return self._default_results(q)
         page, cont = self._paginate(docs, q.continuation, q.k)
         return SearchResult(int(docs.size), cont, page.tolist())
 
-    def search_bm25(self, q: Query) -> SearchResult:
-        """BM25 top-k over the boolean candidate set; order (score desc,
-        doc_id asc). Uses MaxScore term bounds: terms whose upper bound
-        cannot alter the current page are still scored here for exactness —
-        bound-based early exit lives in wand.py (same results, fewer
-        decodes)."""
-        cands = self._result_docs(q)
-        if cands is None:
-            return self._default_results(q)
-        if cands.size == 0:
-            return SearchResult(0, None, [], [])
-        tp = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
-        scoring = [p for p in tp.values() if p is not None]
+    def _score_docs(self, scoring: list, cands: np.ndarray) -> np.ndarray:
+        """Exact BM25 over given docs, summing terms in caller order — the
+        single scoring code path, so kernel / WAND / distributed-rescore
+        results are bit-identical."""
         scores = np.zeros(cands.size, dtype=np.float64)
         dl = self.doclens[cands]
         knorm = self.k1 * (1 - self.b + self.b * dl / self.avgdl)
@@ -473,6 +633,29 @@ class SearchEngine:
             if mask.any():
                 w = tf[mask] / (tf[mask] + knorm[mask])
                 scores[mask] += self.idf(p.df) * (self.k1 + 1) * w
+        return scores
+
+    def search_bm25(self, q: Query) -> SearchResult:
+        """BM25 top-k over the boolean candidate set; order (score desc,
+        doc_id asc). Uses MaxScore term bounds: terms whose upper bound
+        cannot alter the current page are still scored here for exactness —
+        bound-based early exit lives in wand.py (same results, fewer
+        decodes). Union-shaped hot queries route to the distributed plan."""
+        tp_all = self._fetch_query_terms(q)
+        if any(tp_all[t] is None for t in q.require):
+            return SearchResult(0, None, [], [])
+        if self._route_distributed(q, tp_all):
+            self.last_route = "distributed"
+            return self._bm25_distributed(q, tp_all, q.continuation + q.k)
+        self.last_route = "kernel"
+        cands = self._bool_kernel(q, tp_all)
+        if cands is None:
+            return self._default_results(q)
+        if cands.size == 0:
+            return SearchResult(0, None, [], [])
+        tp = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
+        scoring = [p for p in tp.values() if p is not None]
+        scores = self._score_docs(scoring, cands)
         order = np.lexsort((cands, -scores))
         ranked_docs = cands[order]
         ranked_scores = scores[order]
@@ -481,15 +664,151 @@ class SearchEngine:
         return SearchResult(int(cands.size), cont, page.tolist(),
                             ranked_scores[lo : lo + page.size].tolist())
 
+    # ---- distributed twin: hot union-shaped queries as ONE Spark plan ----
+    def _decoded_for(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf) rows for the given terms, decoded executor-side
+        (scan pruned by the term filter). Uses self._postings_df so it is
+        multi-segment-correct."""
+        from .sources.postings import DECODED_SCHEMA, _decode_rows
+
+        pt = self._postings_df.filter(F.col("term").isin(terms)).select(
+            "term", "block_first_doc", "block_max_doc", "block_count",
+            "block_offset", "block_kind", "payload",
+        )
+        return pt.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)
+
+    def _doclens_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/doclens")
+
+    def _matched_docs_df(self, q: Query, tp: dict, scored: bool) -> DataFrame:
+        """(doc_id, score) rows satisfying the boolean clauses — the
+        distributed twin of _bool_kernel (+ BM25 partials when scored).
+        Missing require terms are the caller's short-circuit; missing
+        contain/exclude terms are dropped here (reference rule); the
+        exclude-only quirk (union becomes the result) is the final branch."""
+        require = list(dict.fromkeys(q.require))
+        contain = [t for t in dict.fromkeys(q.contain) if tp[t] is not None]
+        exclude = [t for t in dict.fromkeys(q.exclude) if tp[t] is not None]
+        terms = list(dict.fromkeys(require + contain + exclude))
+        scoring = set(dict.fromkeys(list(q.require) + list(q.contain)))
+        rset, cset, eset = set(require), set(contain), set(exclude)
+        tmeta = self.spark.createDataFrame(
+            [
+                (t, float(self.idf(tp[t].df)), t in rset, t in cset, t in eset,
+                 t in scoring and tp[t] is not None)
+                for t in terms
+            ],
+            "term string, idf double, is_r boolean, is_c boolean, is_e boolean, is_s boolean",
+        )
+        hits = self._decoded_for(terms).join(F.broadcast(tmeta), "term")
+        if scored:
+            w = F.col("tf") * (self.k1 + 1) / (
+                F.col("tf")
+                + F.lit(self.k1) * (1 - self.b + self.b * F.col("dl") / F.lit(float(self.avgdl)))
+            )
+            hits = hits.join(self._doclens_df(), "doc_id").withColumn(
+                "partial", F.when(F.col("is_s"), F.col("idf") * w).otherwise(F.lit(0.0))
+            )
+        else:
+            hits = hits.withColumn("partial", F.lit(0.0))
+        per_doc = hits.groupBy("doc_id").agg(
+            F.countDistinct(F.when(F.col("is_r"), F.col("term"))).alias("req_hit"),
+            F.max(F.col("is_c").cast("int")).alias("con_hit"),
+            F.max(F.col("is_e").cast("int")).alias("exc_hit"),
+            F.sum("partial").alias("score"),
+        )
+        if require or contain:
+            cond = (F.col("req_hit") == len(require)) & (F.col("exc_hit") == 0)
+            if contain:
+                cond = cond & (F.col("con_hit") == 1)
+            return per_doc.filter(cond).select("doc_id", "score")
+        # exclude-only quirk: the excluded union IS the result (wasm/index.c:100-104)
+        return per_doc.filter(F.col("exc_hit") == 1).select("doc_id", "score")
+
+    def _search_distributed(self, q: Query, tp: dict) -> SearchResult:
+        """Boolean page + exact total without driver materialization: count
+        and docID-ordered limit run cluster-side; the driver receives ≤
+        continuation+k docIDs. Persisted between the two actions (executor
+        memory w/ disk spill — never the driver)."""
+        matched = self._matched_docs_df(q, tp, scored=False).persist()
+        try:
+            total = matched.count()
+            if q.continuation >= total:
+                return SearchResult(total, None, [])
+            k_eff = q.continuation + q.k
+            page = [int(r["doc_id"]) for r in matched.orderBy("doc_id").limit(k_eff).collect()]
+            page = page[q.continuation :]
+            last = q.continuation + len(page) - 1
+            return SearchResult(total, None if last == total - 1 else last + 1, page)
+        finally:
+            matched.unpersist()
+
+    def _bm25_distributed(
+        self, q: Query, tp: dict, k_eff: int, exact_total: bool = True
+    ) -> SearchResult:
+        """Distributed BM25 page: cluster-side score + top-(k_eff+margin)
+        candidate selection, then an exact driver rescore of just those
+        candidates in caller term order (bit-identical arithmetic to
+        search_bm25; hot terms fetch only candidate-bearing shards).
+
+        The margin absorbs float-sum reordering in the distributed partial
+        aggregation: Spark's sum order is partition-dependent, so two docs
+        within ~1 ulp of each other can swap in the cluster-side ordering;
+        taking 2·k_eff+16 candidates and re-ranking exactly restores the
+        kernel's exact order unless >k_eff+16 docs tie within float noise."""
+        matched = self._matched_docs_df(q, tp, scored=True).persist()
+        try:
+            total = matched.count() if exact_total else -1
+            if exact_total and q.continuation >= total:
+                return SearchResult(total, None, [], [])
+            rows = (
+                matched.orderBy(F.col("score").desc(), F.col("doc_id"))
+                .limit(2 * k_eff + 16)
+                .collect()
+            )
+        finally:
+            matched.unpersist()
+        cands = np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64)
+        if cands.size == 0:
+            return SearchResult(max(total, 0), None, [], [])
+        tp_s = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
+        scoring = [p for p in tp_s.values() if p is not None]
+        scores = self._score_docs(scoring, cands)
+        if q.continuation >= cands.size:
+            return SearchResult(total, None, [], [])
+        order = np.lexsort((cands, -scores))
+        ranked_docs = cands[order][q.continuation : k_eff]
+        ranked_scores = scores[order][q.continuation : k_eff]
+        last = q.continuation + ranked_docs.size - 1
+        cont = None if (total >= 0 and last == total - 1) or ranked_docs.size < q.k else last + 1
+        return SearchResult(total, cont, ranked_docs.tolist(), ranked_scores.tolist())
+
     def _union_total(self, present: list) -> int:
         """Exact |∪ postings| from block METADATA where possible: a block
         whose [first,max] docID range intersects no other term's blocks holds
         docs unique to its term (a shared doc would sit in an overlapping
         block of the other term), so its count adds directly; only blocks
         overlapping another term's range are decoded and deduped. For salted
-        range-bucketed lists disjoint salt ranges never decode at all."""
+        range-bucketed lists disjoint salt ranges never decode at all.
+
+        Hot (lazy) terms never decode whole here: with ONE hot term,
+        |∪| = df_hot + |eager_union \\ hot| via a bounded membership probe
+        (inclusion–exclusion); with ≥2 hot terms the exact union count runs
+        as one distributed job (their ranges overlap everywhere, so the
+        metadata algebra would decode them fully on the driver)."""
         if len(present) == 1:
             return int(present[0].df)
+        hot = [p for p in present if isinstance(p, LazyTermPostings)]
+        if len(hot) >= 2:
+            return int(
+                self._decoded_for([p.term for p in present])
+                .select("doc_id").distinct().count()
+            )
+        if len(hot) == 1:
+            h = hot[0]
+            eager = [p for p in present if p is not h]
+            rest = np.unique(np.concatenate([p.all_docs() for p in eager]))
+            return int(h.df) + int((h.lookup_tfs(rest) == 0).sum())
         ranges = [p.block_ranges() for p in present]
         decode_idx: list[np.ndarray] = []
         total = 0
@@ -528,15 +847,19 @@ class SearchEngine:
         when callers only need the page."""
         if not q.contain and not q.require:
             return self.search_bm25(q)  # default page / exclude-only quirk path
-        n_terms = len(q.require) + len(q.contain) + len(q.exclude)
-        if n_terms > self.max_query_terms:
-            raise QueryTooLarge(n_terms)
         from .wand import wand_topk
 
+        tp_all = self._fetch_query_terms(q)
+        if any(tp_all[t] is None for t in q.require):
+            return SearchResult(0, None, [], [])
         k_eff = q.continuation + q.k
+        if self._route_distributed(q, tp_all, for_wand=True):
+            self.last_route = "distributed"
+            return self._bm25_distributed(q, tp_all, k_eff, exact_total=exact_total)
+        self.last_route = "kernel"
         candidate_filter = None
         if q.require or q.exclude:
-            cands = self._result_docs(q)
+            cands = self._bool_kernel(q, tp_all)
             if cands is None:
                 return self._default_results(q)
             if cands.size == 0:

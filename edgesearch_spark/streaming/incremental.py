@@ -154,6 +154,9 @@ class MultiSegmentEngine(SearchEngine):
         self._dict_complete = False
         self._doclens = None
 
+    def _doclens_df(self):
+        return self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])
+
     @property
     def doclens(self):
         if self._doclens is None:

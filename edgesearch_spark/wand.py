@@ -37,19 +37,6 @@ class WandResult:
     blocks_skipped: int
 
 
-def _seed_docs(tp: TermPostings, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
-    """Doc IDs of this term, decoding only blocks that could beat θ for an
-    unseen doc. bound_if_new = suffix_sum AFTER this term (other terms' max).
-    Works on eager and lazy postings alike — a lazy term fetches payload
-    only for its surviving blocks' shards."""
-    keep = (idf_k * tp.block_max_weights().astype(np.float64) + bound_if_new) >= theta
-    skipped = int((~keep).sum())
-    if not keep.any():
-        return np.empty(0, np.int64), skipped
-    docs = tp.decode_blocks_docs(np.flatnonzero(keep))
-    return docs, skipped
-
-
 def wand_topk(
     terms: list[tuple[float, TermPostings]],  # (idf, postings)
     k: int,
@@ -90,23 +77,39 @@ def wand_topk(
                 s[m] += idf * (k1 + 1) * (tf[m] / (tf[m] + knorm[m]))
         return s
 
+    def absorb(new_docs: np.ndarray) -> None:
+        nonlocal seen_docs, seen_scores, theta, seeded_total
+        if seen_docs.size:
+            new_docs = new_docs[~np.isin(new_docs, seen_docs, assume_unique=False)]
+        if candidate_filter is not None and new_docs.size:
+            new_docs = candidate_filter(new_docs)
+        if not new_docs.size:
+            return
+        s = score_exact(new_docs)
+        seeded_total += new_docs.size
+        seen_docs = np.concatenate([seen_docs, new_docs])
+        seen_scores = np.concatenate([seen_scores, s])
+        if seen_docs.size >= k:
+            theta = np.partition(seen_scores, -k)[-k]
+
+    # θ bootstrap: before any term seeds generally (which with θ = -inf
+    # would decode the WHOLE first list — fatal on a df≈N term), score the
+    # docs of the ~4k highest-max_weight blocks of the top-bound term. Those
+    # docs stay in the pool, so this is pure work-reordering: any θ they set
+    # only prunes blocks that provably cannot reach the page. Two-level lazy
+    # postings fetch only the few shards owning those blocks.
+    boot_blocks = max(4 * k, 8)
+    boot = np.unique(tps[0].bootstrap_docs(boot_blocks))
+    if boot.size:
+        absorb(boot)
+
     for i, (idf, tp) in enumerate(zip(idfs, tps)):
         if suffix[i] < theta:
             break  # no unseen doc can reach (or tie) the top-k page
-        new_docs, skipped = _seed_docs(tp, float(suffix[i + 1]), theta, idf * (k1 + 1))
+        new_docs, skipped = tp.seed_docs(float(suffix[i + 1]), theta, idf * (k1 + 1))
         blocks_skipped += skipped
         if new_docs.size:
-            if seen_docs.size:
-                new_docs = new_docs[~np.isin(new_docs, seen_docs, assume_unique=False)]
-            if candidate_filter is not None and new_docs.size:
-                new_docs = candidate_filter(new_docs)
-            if new_docs.size:
-                s = score_exact(new_docs)
-                seeded_total += new_docs.size
-                seen_docs = np.concatenate([seen_docs, new_docs])
-                seen_scores = np.concatenate([seen_scores, s])
-                if seen_docs.size >= k:
-                    theta = np.partition(seen_scores, -k)[-k]
+            absorb(new_docs)
 
     order2 = np.lexsort((seen_docs, -seen_scores))[:k]
     return WandResult(seen_docs[order2], seen_scores[order2], seeded_total, blocks_skipped)
