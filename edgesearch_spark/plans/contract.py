@@ -873,6 +873,65 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """STREAMING sessionization (applyInPandasWithState, 30-min inactivity
+    gap) batch-replayed over the fixed events table: availableNow +
+    maxFilesPerTrigger=1, with two far-future sentinel files appended so the
+    watermark sails past every real session's event-time timeout and all
+    sessions emit. Proves the custom stateful operator matches the batch
+    gap-split semantics row-for-row (session bounds + event counts)."""
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join("/tmp", f"edgesearch_sess_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    for i in (1, 2):  # separate files → separate micro-batches (mtime order)
+        spark.createDataFrame(
+            [(-1, mx + dt.timedelta(days=30 * i))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    from ..streaming.windowed import sessionized_user_counts
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = f"stream_sess_{tag}"
+    q = (
+        sessionized_user_counts(stream, gap_seconds=1800)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(sink).filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregation (SURVEY §2.3 'grouping sets' row — absent in the
     reference, native in Spark): revenue by (returnflag, linestatus) with
@@ -982,6 +1041,41 @@ def q_idx_bm25_topk(spark, sf_dir):
 
 SQL_IDX_BM25_TOPK = SQL_BM25_TOPK
 
+HOT_TERM = "batch"  # df ≈ 0.8·N on the documents table at every SF
+
+
+def q_idx_hot_contain(spark, sf_dir):
+    """Contain-only query against a df≈N term with thresholds forcing the
+    hot path: the term is served lazily (two-level shard metadata) and the
+    query auto-routes to the distributed plan (engine.hot_route_df) — the
+    driver never materializes the full posting list (VERDICT r2 top_next).
+    Results are the same page the exhaustive kernel returns."""
+    from ..engine import SearchEngine
+    from ..oracle import Query
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir), lazy_min_df=50, hot_route_df=50)
+    r = eng.search_bm25_wand(Query.make(contain=[HOT_TERM], k=20))
+    if eng.last_route != "distributed":  # the entry must actually guard the route
+        raise AssertionError(f"expected distributed route, got {eng.last_route}")
+    rows = [(int(d), round(float(s), 4)) for d, s in zip(r.doc_ids, r.scores)]
+    return spark.createDataFrame(rows or [], "doc_id long, score double")
+
+
+SQL_IDX_HOT_CONTAIN = f"""
+WITH {_PAIRS_CTE}, {_DL_CTE},
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+hits AS (SELECT * FROM pairs WHERE term = '{HOT_TERM}'),
+dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term)
+SELECT h.doc_id,
+       round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                 * h.tf * {K1 + 1}
+                 / (h.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))), 4) AS score
+FROM hits h JOIN dfs f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+GROUP BY h.doc_id
+ORDER BY score DESC, h.doc_id
+LIMIT 20
+"""
+
 
 # ---------- registry ----------
 
@@ -1024,6 +1118,8 @@ QUERIES = {
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
     "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
+    "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
 }

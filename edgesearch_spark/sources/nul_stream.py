@@ -45,14 +45,21 @@ def read_documents_file(spark: SparkSession, path: str) -> DataFrame:
     dropped; a mid-stream double-NUL is an empty-payload document with its
     own docID, exactly as the reference reader yields it
     (src/data/documents.rs:20-30)."""
-    recs = _records_with_position(spark, path)
-    last = recs.agg(F.max("pos")).collect()[0][0]
-    if last is None:
+    from pyspark import StorageLevel
+
+    recs = _records_with_position(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
+    # positions are 0..n-1 contiguous (zipWithIndex), so the last position is
+    # count-1 — the count doubles as the cache-materializing action; the
+    # downstream read reuses the persisted records instead of re-scanning
+    n = recs.count()
+    if n == 0:
         return recs.select(F.col("pos").alias("doc_id"), F.col("record").alias("content"))
-    return (
-        recs.filter(~((F.col("record") == "") & (F.col("pos") == int(last))))
+    out = (
+        recs.filter(~((F.col("record") == "") & (F.col("pos") == n - 1)))
         .select(F.col("pos").alias("doc_id"), F.col("record").alias("content"))
     )
+    out._docid_cache = recs  # keep a handle so callers can unpersist
+    return out
 
 
 def read_document_terms_file(spark: SparkSession, path: str) -> DataFrame:

@@ -71,52 +71,69 @@ def sessionized_user_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user session
-    aggregation with an inactivity gap — a session closes (and emits one
-    output row) when no event arrives for ``gap_seconds`` past the
-    watermark. State per user is two timestamps + a count."""
+    aggregation with an inactivity gap. State per user is two timestamps +
+    a count (the open session's interval).
+
+    Semantics (batch `sessionize` twin):
+      * every batch's events are SORTED by event time and gap-split — two
+        true sessions separated by > gap inside one micro-batch (the normal
+        availableNow/catch-up shape) emit as two sessions, not one lump;
+      * the stored open session merges as an interval: an in-watermark late
+        event with ts < stored start extends the session BACKWARD
+        (min(start, lo)), and the gap test is per-event-order, not
+        batch-min vs stored-last;
+      * only the newest session stays open; everything older emits in-batch;
+      * idle close tracks EVENT time: timeout = last event + gap (clamped
+        just past the current watermark), not watermark + gap — emission no
+        longer drifts by however far the watermark lags the session."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, session_start timestamp, session_end timestamp, n_events long"
     state_schema = "start long, last long, n long"
+    gap_us = gap_seconds * 1_000_000
+
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield emit(key, [(start, last, n)])
             return
-        lo, hi, n = None, None, 0
+        # intervals: the stored open session + each batch event as a point,
+        # time-ordered, then merged on gap ≤ gap_us (a classic interval
+        # sweep — in-batch gap splits and backward extension both fall out)
+        intervals: list[tuple[int, int, int]] = []
+        if state.exists:
+            intervals.append(tuple(state.get))
         for pdf in pdfs:
             ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # µs
-            lo = min(lo, int(ts.min())) if lo is not None else int(ts.min())
-            hi = max(hi, int(ts.max())) if hi is not None else int(ts.max())
-            n += len(pdf)
-        if state.exists:
-            start, last, n0 = state.get
-            if lo is not None and lo - last <= gap_seconds * 1_000_000:
-                state.update((start, max(last, hi), n0 + n))
+            intervals.extend((int(t), int(t), 1) for t in ts)
+        if not intervals:
+            return
+        intervals.sort()
+        merged = [intervals[0]]
+        for lo, hi, n in intervals[1:]:
+            plo, phi, pn = merged[-1]
+            if lo - phi <= gap_us:
+                merged[-1] = (plo, max(phi, hi), pn + n)
             else:
-                # gap exceeded: emit the old session, start a new one
-                state.update((lo, hi, n))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "session_start": [pd.Timestamp(start, unit="us")],
-                        "session_end": [pd.Timestamp(last, unit="us")],
-                        "n_events": [n0],
-                    }
-                )
-        else:
-            state.update((lo, hi, n))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_seconds * 1000)
+                merged.append((lo, hi, n))
+        open_s = merged[-1]
+        state.update(open_s)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(open_s[1] // 1000 + gap_seconds * 1000, wm_ms + 1))
+        if len(merged) > 1:
+            yield emit(key, merged[:-1])
 
     return (
         stream.withWatermark(ts_col, watermark)

@@ -77,3 +77,44 @@ def test_stateful_sessionization_emits_closed_sessions(spark, tmp_path_factory):
     assert rows[7]["n_events"] == 2
     assert rows[7]["session_start"] == T0
     assert rows[7]["session_end"] == T0 + dt.timedelta(minutes=10)
+
+
+def test_sessionization_splits_in_batch_gaps(spark, tmp_path_factory):
+    """Two true sessions separated by more than the gap INSIDE one
+    micro-batch (the availableNow catch-up shape) emit as two sessions."""
+    src = str(tmp_path_factory.mktemp("sess_gap_src"))
+    _write_drop(spark, src, [
+        (T0, 5, "a"),
+        (T0 + dt.timedelta(minutes=5), 5, "b"),
+        (T0 + dt.timedelta(hours=2), 5, "c"),           # > 30-min gap, same batch
+        (T0 + dt.timedelta(hours=2, minutes=1), 5, "d"),
+    ])
+    _write_drop(spark, src, [(T0 + dt.timedelta(hours=9), 6, "z")])  # watermark push
+    out = _run_stream(
+        spark, src, lambda s: sessionized_user_counts(s, gap_seconds=1800), "sess_gap", "append"
+    )
+    got = sorted(
+        ((r["session_start"], r["session_end"], r["n_events"]) for r in out.collect()
+         if r["user_id"] == 5)
+    )
+    assert got == [
+        (T0, T0 + dt.timedelta(minutes=5), 2),
+        (T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=2, minutes=1), 2),
+    ], got
+
+
+def test_sessionization_late_event_extends_backward(spark, tmp_path_factory):
+    """An in-watermark late event older than the stored session start lowers
+    session_start (interval merge), instead of corrupting the bounds."""
+    src = str(tmp_path_factory.mktemp("sess_late_src"))
+    _write_drop(spark, src, [(T0 + dt.timedelta(minutes=10), 11, "a")])
+    # late but within the 30-min watermark: 10 min EARLIER than stored start
+    _write_drop(spark, src, [(T0, 11, "late")])
+    _write_drop(spark, src, [(T0 + dt.timedelta(hours=9), 12, "z")])  # close it out
+    out = _run_stream(
+        spark, src, lambda s: sessionized_user_counts(s, gap_seconds=1800), "sess_late", "append"
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[11]["session_start"] == T0
+    assert rows[11]["session_end"] == T0 + dt.timedelta(minutes=10)
+    assert rows[11]["n_events"] == 2
