@@ -21,4 +21,4 @@ Layout:
   functions/     — text analysis (langid, quality, token stats, fingerprint)
 """
 
-__version__ = "0.2.0"  # 0.2: adaptive posting containers (varint/run/bitset + const-tf)
+__version__ = "0.2.1"  # 0.2.1: absent-term bloom sidecar; 0.2: adaptive posting containers

@@ -484,4 +484,21 @@ def build_index(
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": postings_path, "output": terms_path})
 
+    # ---- stage 5: absent-term bloom sidecar (term-dict scale posture) ----
+    # Driver-local "definitely absent" checks at any dictionary size — the
+    # reference's always-local BST lookup (wasm/bst.c) without shipping a
+    # 10^9-term dictionary to the driver. See bloom.py.
+    if not stage("blooms"):
+        from .bloom import build_term_bloom
+
+        t0 = time.monotonic()
+        ts_df = spark.read.parquet(terms_path)
+        n_terms = ts_df.count()
+        bloom_path = os.path.join(out_dir, "term_bloom")
+        n_ranges = build_term_bloom(spark, ts_df, bloom_path, n_terms)
+        dt = time.monotonic() - t0
+        m = StageMetrics("blooms", n_ranges, dt, {"n_terms": n_terms})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": terms_path, "output": bloom_path})
+
     return metrics

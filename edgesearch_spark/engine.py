@@ -380,6 +380,7 @@ class SearchEngine:
         self._df_cache: dict[str, int | None] = {}
         self._dict_complete = False  # warm() may load the whole term dict
         self._doclens: np.ndarray | None = None
+        self._blooms: list | bool = False  # False = not loaded yet
 
     def warm(self, max_dict_terms: int = 2_000_000) -> "SearchEngine":
         """Pin the postings table in executor memory (Spark cache), load the
@@ -410,6 +411,25 @@ class SearchEngine:
             self._doclens = arr
         return self._doclens
 
+    # ---- absent-term bloom sidecar (driver-local, no job per novel term) ----
+    def _bloom_dirs(self) -> list[str]:
+        return [self.index_dir]
+
+    def _bloom_absent(self, term: str) -> bool:
+        """True ⇒ the term is definitely not indexed (no false negatives).
+        Loads the sidecar rows once (one job per index dir); indexes built
+        before the sidecar existed fall back to the term_stats scan."""
+        if self._blooms is False:
+            from .bloom import load_term_bloom
+
+            self._blooms = [b for d in self._bloom_dirs()
+                            if (b := load_term_bloom(self.spark, d)) is not None]
+            if len(self._blooms) < len(self._bloom_dirs()):
+                self._blooms = []  # any sidecar-less segment ⇒ can't conclude absence
+        if not self._blooms:
+            return False
+        return all(b.definitely_absent(term) for b in self._blooms)
+
     # ---- term existence + df from the (tiny) term_stats table ----
     def _term_dfs(self, terms: list[str]) -> dict[str, int | None]:
         missing = [t for t in set(terms) if t not in self._df_cache]
@@ -417,6 +437,15 @@ class SearchEngine:
             for t in missing:
                 self._df_cache[t] = None  # complete dict ⇒ absent term
             missing = []
+        if missing:
+            # bloom short-circuit: definitely-absent terms never cost a job
+            still = []
+            for t in missing:
+                if self._bloom_absent(t):
+                    self._df_cache[t] = None
+                else:
+                    still.append(t)
+            missing = still
         if missing:
             rows = (
                 self._term_stats_df.filter(F.col("term").isin(missing))

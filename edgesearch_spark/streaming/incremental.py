@@ -153,6 +153,10 @@ class MultiSegmentEngine(SearchEngine):
         self._df_cache = {}
         self._dict_complete = False
         self._doclens = None
+        self._blooms = False
+
+    def _bloom_dirs(self):
+        return list(self._segment_dirs)
 
     def _doclens_df(self):
         return self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])

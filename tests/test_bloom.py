@@ -1,0 +1,98 @@
+"""Absent-term bloom sidecar (bloom.py; VERDICT r2 item 8): novel-term
+queries must not cost a Spark job each — the sidecar loads once, then
+definitely-absent checks are driver-local. No false negatives: every
+indexed term still resolves through the normal path."""
+
+import numpy as np
+import pytest
+
+from edgesearch_spark.bloom import TermBloom, load_term_bloom, term_range_id
+from edgesearch_spark.build import IndexConfig, build_index
+from edgesearch_spark.engine import SearchEngine
+from edgesearch_spark.oracle import Query
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bloomidx"))
+    rows = [(i, f"alpha{i % 50} beta{i % 13} common shared{i % 3}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    build_index(spark, docs, out, IndexConfig(), doc_id_col="doc_id", content_col="content")
+    return out
+
+
+def _n_jobs(spark) -> int:
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_sidecar_written_and_loadable(spark, index_dir):
+    tb = load_term_bloom(spark, index_dir)
+    assert tb is not None
+    assert tb.n_ranges >= 1
+
+
+def test_no_false_negatives_over_full_dictionary(spark, index_dir):
+    """Bloom guarantee: every indexed term probes 'maybe present'."""
+    tb = load_term_bloom(spark, index_dir)
+    terms = [r["term"] for r in spark.read.parquet(f"{index_dir}/term_stats")
+             .select("term").distinct().collect()]
+    assert terms
+    for t in terms:
+        assert not tb.definitely_absent(t), t
+
+
+def test_absent_terms_mostly_filtered(spark, index_dir):
+    """FP rate sanity: ~0.4% expected at 12 bits/term, k=7."""
+    tb = load_term_bloom(spark, index_dir)
+    absent = sum(tb.definitely_absent(f"zz_nope_{i}") for i in range(500))
+    assert absent >= 490, absent
+
+
+def test_jvm_range_id_matches_driver(spark, index_dir):
+    """The JVM md5 range expression and the driver probe must route a term
+    to the same bloom row, or presence would false-negative."""
+    tb = load_term_bloom(spark, index_dir)
+    rows = spark.read.parquet(f"{index_dir}/term_bloom").collect()
+    bits = {int(r["range_id"]): np.frombuffer(bytes(r["bits"]), np.uint8) for r in rows}
+    # spot check: each term's driver-computed range row exists and has bits set
+    for t in ("common", "alpha0", "beta12"):
+        rid = term_range_id(t, tb.n_ranges)
+        assert rid in bits and bits[rid].any()
+
+
+def test_novel_term_queries_cost_at_most_one_job(spark, index_dir):
+    """≤1 Spark job for the FIRST novel-term query (the sidecar load),
+    ZERO for every one after — without warm()."""
+    eng = SearchEngine(spark, index_dir)  # no warm: dict not on driver
+    j0 = _n_jobs(spark)
+    r = eng.search(Query.make(require=["zz_never_indexed"], k=10))
+    assert r.total == 0
+    j1 = _n_jobs(spark)
+    # one-time sidecar load: parquet schema-inference job + collect job
+    assert j1 - j0 <= 2, f"first novel-term query cost {j1 - j0} jobs"
+    for i in range(5):
+        r = eng.search(Query.make(require=[f"zz_other_{i}"], k=10))
+        assert r.total == 0
+    j2 = _n_jobs(spark)
+    assert j2 == j1, f"subsequent novel-term queries cost {j2 - j1} jobs"
+
+
+def test_results_identical_with_and_without_bloom(spark, index_dir):
+    """The bloom is a pure short-circuit: mixed present/absent queries
+    return identical results when it is disabled."""
+    with_b = SearchEngine(spark, index_dir)
+    no_b = SearchEngine(spark, index_dir)
+    no_b._blooms = []  # loaded-but-empty ⇒ never concludes absence
+    for spec in (
+        dict(require=["common"], contain=["zz_nope"], k=20),
+        dict(require=["zz_nope"], k=5),
+        dict(contain=["alpha1", "zz_nope", "beta2"], k=15),
+        dict(exclude=["zz_nope"], k=10),
+    ):
+        a, b = with_b.search(Query.make(**spec)), no_b.search(Query.make(**spec))
+        assert (a.total, a.continuation, list(a.doc_ids)) == (b.total, b.continuation, list(b.doc_ids)), spec
+
+
+def test_empty_bloom_row_handling():
+    tb = TermBloom([])
+    assert tb.definitely_absent("anything")

@@ -50,7 +50,7 @@ def test_interrupted_then_resumed_equals_clean(spark, corpus, tmp_path_factory):
     assert [m.stage for m in m1] == ["docs", "stats"]
     # resume: only the remaining stages run
     m2 = build_index(spark, corpus, resumed, CFG, order_cols=("repo", "path", "commit"))
-    assert [m.stage for m in m2] == ["postings", "terms"]
+    assert [m.stage for m in m2] == ["postings", "terms", "blooms"]
 
     assert _postings_fingerprint(spark, resumed) == _postings_fingerprint(spark, clean)
     assert _docs_fingerprint(spark, resumed) == _docs_fingerprint(spark, clean)
@@ -71,7 +71,7 @@ def test_lost_stage_is_rebuilt(spark, corpus, tmp_path_factory):
 def test_manifest_lineage_recorded(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lineage"))
     build_index(spark, corpus, out, CFG, order_cols=("repo", "path", "commit"))
-    for stage in ("docs", "stats", "postings", "terms"):
+    for stage in ("docs", "stats", "postings", "terms", "blooms"):
         with open(f"{out}/_manifest/{stage}.json") as f:
             m = json.load(f)
         assert m["rows"] > 0 and m["seconds"] >= 0 and "lineage" in m, stage
