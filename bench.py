@@ -51,6 +51,15 @@ WAND_BATCH = [
     ("wand_contain_fast", Query.make(contain=["license", "util3", "helper9"]), False),
     ("wand_mixed", Query.make(require=["the"], contain=["util1", "util2"], exclude=["error"]), True),
 ]
+# df≈N hot-term queries (VERDICT r2 item 5): served by an engine whose
+# lazy/route thresholds force the hot paths — two-level lazy metadata, WAND
+# θ-bootstrap (kernel), and the distributed auto-route.
+HOT_BATCH = [
+    ("bool_contain_hot", "search", Query.make(contain=["the"], k=50)),
+    ("wand_hot_kernel", "wand_fast", Query.make(contain=["the", "util1"], k=50)),
+    ("wand_hot_routed", "wand", Query.make(contain=["the"], k=50)),
+    ("bm25_hot_require", "bm25", Query.make(require=["the", "import"], k=50)),
+]
 
 
 def _postings_stats(index_dir: str) -> dict:
@@ -67,7 +76,7 @@ def _postings_stats(index_dir: str) -> dict:
     try:
         out["stage_seconds"] = {
             s: round(json.load(open(os.path.join(index_dir, "_manifest", f"{s}.json")))["seconds"], 2)
-            for s in ("docs", "stats", "postings", "terms")
+            for s in ("docs", "stats", "postings", "terms", "blooms")
         }
     except Exception:
         pass
@@ -136,6 +145,27 @@ def main() -> None:
     query_p50 = statistics.median(lat)
     query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
 
+    # ---- df≈N hot-term paths (thresholds scaled so 'the' goes hot) ----
+    import resource
+
+    hot_df = max(1000, n_corpus // 20)
+    eng_hot = SearchEngine(spark, out, lazy_min_df=hot_df, hot_route_df=hot_df)
+    eng_kernel = SearchEngine(spark, out, lazy_min_df=hot_df, hot_route_df=10**12)
+    for name, mode, q in HOT_BATCH:
+        e = eng_kernel if mode == "wand_fast" else eng_hot
+        e._term_dfs(list(q.require) + list(q.contain) + list(q.exclude))  # dict resolve untimed
+        t0 = time.monotonic()
+        if mode == "search":
+            e.search(q)
+        elif mode == "bm25":
+            e.search_bm25(q)
+        elif mode == "wand":
+            e.search_bm25_wand(q)
+        else:
+            e.search_bm25_wand(q, exact_total=False)
+        queries[name] = round(time.monotonic() - t0, 4)
+    driver_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
     # ---- representative contract queries at the sf dir ----
     from edgesearch_spark.plans.contract import QUERIES
 
@@ -159,6 +189,7 @@ def main() -> None:
                     "build_sec": round(build_sec, 2),
                     "query_p50_sec": round(query_p50, 4),
                     "query_p95_sec": round(query_p95, 4),
+                    "driver_maxrss_mb": driver_rss_mb,
                     **_postings_stats(out),
                 },
             }
