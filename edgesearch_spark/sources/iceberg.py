@@ -42,9 +42,14 @@ def read_corpus(spark: SparkSession, table_or_path: str) -> DataFrame:
 
 
 def write_snapshot(df: DataFrame, table_or_path: str, mode: str = "overwrite") -> None:
-    """Write a table as an Iceberg snapshot when available, else parquet."""
+    """Write a table as an Iceberg snapshot when available, else parquet.
+    mode='append' adds a snapshot to an existing table (incremental ingest);
+    anything else replaces the table."""
     spark = df.sparkSession
     if "/" not in table_or_path and iceberg_available(spark):
-        df.writeTo(table_or_path).createOrReplace()
+        if mode == "append":
+            df.writeTo(table_or_path).append()
+        else:
+            df.writeTo(table_or_path).createOrReplace()
         return
     df.write.mode(mode).parquet(table_or_path)
