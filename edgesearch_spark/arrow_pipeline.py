@@ -64,43 +64,15 @@ def tokenize_pairs_arrow(
     UNIQUE level then re-factorized, so terms merged by the map combine their
     counts exactly like ``tokenize_pairs_pandas`` (byte-identical postings,
     parity-tested)."""
-    import pandas as pd
-
     wmap = dict(word_map or {})
     prefix = f"{field_prefix}_" if field_prefix else ""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
-            contents = batch.column(batch.schema.get_field_index(content_col)).to_pylist()
-            tok_lists = [_TOKEN_PAT.findall(c.lower()) if c else [] for c in contents]
-            lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
-            if lens.sum() == 0:
+            got = _tokenize_batch(batch, doc_id_col, content_col, wmap, prefix)
+            if got is None:
                 continue
-            doc_rep = np.repeat(doc_ids, lens)
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-            codes, uniques = pd.factorize(flat, sort=False)
-            ulen = np.fromiter((len(u) for u in uniques), np.int64, count=len(uniques))
-            bad = np.flatnonzero(ulen > MAX_TERM_BYTES)
-            if bad.size:
-                keep = ~np.isin(codes, bad)
-                codes, doc_rep = codes[keep], doc_rep[keep]
-            if wmap or prefix:
-                s = pd.Series(np.asarray(uniques, dtype=object))
-                if wmap:
-                    s = s.map(lambda t: wmap.get(t, t))
-                if prefix:
-                    s = prefix + s
-                recodes, uniques = pd.factorize(s, sort=False)
-                codes = recodes[codes]
-            n_u = len(uniques)
-            key = doc_rep * np.int64(n_u) + codes
-            ukey, tf = np.unique(key, return_counts=True)
-            doc_out = ukey // n_u
-            code_out = (ukey % n_u).astype(np.int32)
-            heads = np.flatnonzero(np.concatenate([[True], doc_out[1:] != doc_out[:-1]]))
-            dlp = np.add.reduceat(tf, heads)
-            dl = np.repeat(dlp, np.diff(np.concatenate([heads, [doc_out.size]])))
+            doc_out, code_out, tf, dl, uniques = got
             # term column as DictionaryArray → string cast happens in C++
             term_arr = pa.DictionaryArray.from_arrays(
                 pa.array(code_out), pa.array(uniques, type=pa.string())
@@ -111,6 +83,78 @@ def tokenize_pairs_arrow(
             )
 
     return df.select(doc_id_col, content_col).mapInArrow(run, schema=PAIRS_SCHEMA)
+
+
+def _tokenize_batch(batch: pa.RecordBatch, doc_id_col: str, content_col: str,
+                    wmap: dict, prefix: str):
+    """One batch of (doc_id, content) → (doc_out, code_out, tf, dl, uniques)
+    — the shared tokenize core of the 'arrow' and 'pack' postings paths.
+    Returns None for an all-empty batch."""
+    import pandas as pd
+
+    doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+    contents = batch.column(batch.schema.get_field_index(content_col)).to_pylist()
+    tok_lists = [_TOKEN_PAT.findall(c.lower()) if c else [] for c in contents]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
+        return None
+    doc_rep = np.repeat(doc_ids, lens)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    codes, uniques = pd.factorize(flat, sort=False)
+    ulen = np.fromiter((len(u) for u in uniques), np.int64, count=len(uniques))
+    bad = np.flatnonzero(ulen > MAX_TERM_BYTES)
+    if bad.size:
+        keep = ~np.isin(codes, bad)
+        codes, doc_rep = codes[keep], doc_rep[keep]
+    if wmap or prefix:
+        s = pd.Series(np.asarray(uniques, dtype=object))
+        if wmap:
+            s = s.map(lambda t: wmap.get(t, t))
+        if prefix:
+            s = prefix + s
+        recodes, uniques = pd.factorize(s, sort=False)
+        codes = recodes[codes]
+    n_u = len(uniques)
+    key = doc_rep * np.int64(n_u) + codes
+    ukey, tf = np.unique(key, return_counts=True)
+    doc_out = ukey // n_u
+    code_out = (ukey % n_u).astype(np.int32)
+    heads = np.flatnonzero(np.concatenate([[True], doc_out[1:] != doc_out[:-1]]))
+    dlp = np.add.reduceat(tf, heads)
+    dl = np.repeat(dlp, np.diff(np.concatenate([heads, [doc_out.size]])))
+    return doc_out, code_out, tf, dl, uniques
+
+
+def _emit_arrays(term_heads: pa.Array, docs_list, tfs_list, ws_list,
+                 block_size: int, salt_shift: int) -> pa.RecordBatch:
+    """Posting groups → one POSTINGS_ARROW_SCHEMA batch (shared by the
+    'arrow' stream encoder and the 'pack' encoder)."""
+    pbs = encode_postings_batch(docs_list, tfs_list, ws_list, block_size=block_size)
+    n_groups = len(pbs)
+    salts = np.fromiter((int(d[0]) >> salt_shift for d in docs_list), np.int64, count=n_groups)
+
+    def list_arr(parts: list[np.ndarray], typ):
+        offsets = np.zeros(n_groups + 1, dtype=np.int32)
+        np.cumsum([len(p) for p in parts], out=offsets[1:])
+        values = np.concatenate(parts) if parts else np.array([], dtype=typ)
+        return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values.astype(typ)))
+
+    return pa.RecordBatch.from_arrays(
+        [
+            term_heads.combine_chunks() if isinstance(term_heads, pa.ChunkedArray) else term_heads,
+            pa.array(salts),
+            pa.array(np.fromiter((d.size for d in docs_list), np.int64, count=n_groups)),
+            pa.array(np.fromiter((int(t.sum()) for t in tfs_list), np.int64, count=n_groups)),
+            list_arr([pb.first_doc for pb in pbs], np.int64),
+            list_arr([pb.max_doc for pb in pbs], np.int64),
+            list_arr([pb.counts for pb in pbs], np.int32),
+            list_arr([pb.offsets for pb in pbs], np.int64),
+            list_arr([pb.max_weight for pb in pbs], np.float32),
+            list_arr([pb.kinds for pb in pbs], np.int32),
+            pa.array([pb.payload for pb in pbs], type=pa.binary()),
+        ],
+        schema=POSTINGS_ARROW_SCHEMA,
+    )
 
 
 def make_stream_encoder_arrow(block_size: int, salt_shift: int = 16):
@@ -126,36 +170,11 @@ def make_stream_encoder_arrow(block_size: int, salt_shift: int = 16):
         docs = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
         tfs = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
         ws = tbl.column("w").to_numpy().astype(np.float32, copy=False)
-        salts = docs >> salt_shift
         heads = np.concatenate([[0], bounds]).astype(np.int64)
-        docs_list = np.split(docs, bounds)
-        tfs_list = np.split(tfs, bounds)
-        ws_list = np.split(ws, bounds)
-        pbs = encode_postings_batch(docs_list, tfs_list, ws_list, block_size=block_size)
         term_heads = tbl.column("term").take(pa.array(heads))  # C++ gather, n_groups strings
-        n_groups = len(pbs)
-
-        def list_arr(parts: list[np.ndarray], typ):
-            offsets = np.zeros(n_groups + 1, dtype=np.int32)
-            np.cumsum([len(p) for p in parts], out=offsets[1:])
-            values = np.concatenate(parts) if parts else np.array([], dtype=typ)
-            return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values.astype(typ)))
-
-        return pa.RecordBatch.from_arrays(
-            [
-                term_heads.combine_chunks() if isinstance(term_heads, pa.ChunkedArray) else term_heads,
-                pa.array(salts[heads].astype(np.int64)),
-                pa.array(np.fromiter((d.size for d in docs_list), np.int64, count=n_groups)),
-                pa.array(np.fromiter((int(t.sum()) for t in tfs_list), np.int64, count=n_groups)),
-                list_arr([pb.first_doc for pb in pbs], np.int64),
-                list_arr([pb.max_doc for pb in pbs], np.int64),
-                list_arr([pb.counts for pb in pbs], np.int32),
-                list_arr([pb.offsets for pb in pbs], np.int64),
-                list_arr([pb.max_weight for pb in pbs], np.float32),
-                list_arr([pb.kinds for pb in pbs], np.int32),
-                pa.array([pb.payload for pb in pbs], type=pa.binary()),
-            ],
-            schema=POSTINGS_ARROW_SCHEMA,
+        return _emit_arrays(
+            term_heads, np.split(docs, bounds), np.split(tfs, bounds), np.split(ws, bounds),
+            block_size, salt_shift,
         )
 
     def _changes(tbl: pa.Table) -> np.ndarray:
@@ -185,5 +204,160 @@ def make_stream_encoder_arrow(block_size: int, salt_shift: int = 16):
             yield _emit(tbl.slice(0, last_head), chg[:-1])
         if carry is not None and carry.num_rows:
             yield _emit(carry, _changes(carry))
+
+    return encode
+
+
+# ---------------------------------------------------------------------------
+# 'pack' postings path: binary-blob shuffle (round-3 crossing optimization)
+# ---------------------------------------------------------------------------
+# Profiling (BENCH/BASELINE.md, tools/profile_postings.py) showed the
+# postings stage floor is the JVM→Python Arrow INPUT serialization of the
+# post-shuffle rows (~8 µs/row of JVM CPU — 55% of the stage), not shuffle
+# bytes and not encode compute. This path removes that per-row conversion:
+# the tokenizer PRE-PACKS each (bucket = hash(term, salt) % n_buckets)
+# group of a batch into ONE binary blob (numpy buffers + a per-blob term
+# dictionary), the shuffle moves (bucket int, blob binary) rows — thousands
+# of rows instead of tens of millions — and the encoder parses blobs with
+# np.frombuffer, groups via a C++ dictionary_encode + numpy lexsort, and
+# emits the SAME posting groups byte-for-byte (4-way equivalence tested in
+# tests/test_postings_impls.py). The JVM never row-converts posting rows,
+# and the JVM sort disappears (the encoder sorts each partition in numpy).
+#
+# Blob layout (little-endian):
+#   int64 n, k, dict_bytes_len
+#   docs int64[n] | tf int32[n] | w float32[n] | codes int32[n]
+#   dict_offsets int32[k+1] | dict utf8 bytes
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+PACK_SCHEMA = "bucket int, blob binary"
+
+
+def tokenize_pack_arrow(
+    df: DataFrame,
+    doc_id_col: str,
+    content_col: str,
+    *,
+    n_buckets: int,
+    salt_shift: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    word_map: dict[str, str] | None = None,
+    field_prefix: str | None = None,
+) -> DataFrame:
+    """(doc_id, content) → (bucket, blob): tokenize + tf-weight + pack.
+
+    The BM25 tf-weight is computed here in numpy with the exact operation
+    order of build.tf_weight_col (same IEEE ops → bit-identical float32).
+    Bucket = mix(crc32(term), salt) % n_buckets keeps every (term, salt)
+    shard in one bucket (encoder correctness) while a hot term's salts
+    spread across buckets (skew stays capped at 2^salt_shift postings)."""
+    wmap = dict(word_map or {})
+    prefix = f"{field_prefix}_" if field_prefix else ""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        for batch in batches:
+            got = _tokenize_batch(batch, doc_id_col, content_col, wmap, prefix)
+            if got is None:
+                continue
+            doc_out, code_out, tf, dl, uniques = got
+            if tf.size and int(tf.max()) >= 2**31:
+                raise ValueError("tf exceeds int32 — pack blob layout assumes tf < 2^31")
+            tf64 = tf.astype(np.float64)
+            dl64 = dl.astype(np.float64)
+            # EXACT tf_weight_col arithmetic (build.py:121-125)
+            w = (tf64 / (tf64 + k1 * ((1.0 - b) + (b * dl64) / avgdl))).astype(np.float32)
+            enc = [u.encode("utf-8") for u in uniques]
+            uh = np.fromiter((zlib.crc32(e) for e in enc), np.uint64, count=len(enc))
+            salts = (doc_out >> salt_shift).astype(np.uint64)
+            bucket = ((uh[code_out] * _GOLD) + salts) % np.uint64(n_buckets)
+            order = np.argsort(bucket, kind="stable")
+            b_sorted = bucket[order]
+            heads = np.flatnonzero(np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]]))
+            bounds = np.concatenate([heads, [b_sorted.size]])
+            docs_s, tf_s, w_s, code_s = doc_out[order], tf[order], w[order], code_out[order]
+            out_buckets: list[int] = []
+            out_blobs: list[bytes] = []
+            for i in range(heads.size):
+                sl = slice(int(bounds[i]), int(bounds[i + 1]))
+                lu, lcodes = np.unique(code_s[sl], return_inverse=True)
+                dict_bts = [enc[int(c)] for c in lu]
+                offs = np.zeros(len(dict_bts) + 1, np.int32)
+                np.cumsum([len(x) for x in dict_bts], out=offs[1:])
+                dbytes = b"".join(dict_bts)
+                header = np.array([sl.stop - sl.start, len(dict_bts), len(dbytes)], np.int64)
+                out_blobs.append(b"".join([
+                    header.tobytes(),
+                    np.ascontiguousarray(docs_s[sl], np.int64).tobytes(),
+                    np.ascontiguousarray(tf_s[sl], np.int32).tobytes(),
+                    np.ascontiguousarray(w_s[sl], np.float32).tobytes(),
+                    lcodes.astype(np.int32).tobytes(),
+                    offs.tobytes(),
+                    dbytes,
+                ]))
+                out_buckets.append(int(b_sorted[int(bounds[i])]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.array(out_buckets, np.int32)), pa.array(out_blobs, type=pa.binary())],
+                names=["bucket", "blob"],
+            )
+
+    return df.select(doc_id_col, content_col).mapInArrow(run, schema=PACK_SCHEMA)
+
+
+def make_pack_encoder(block_size: int, salt_shift: int = 16, groups_per_batch: int = 65536):
+    """mapInArrow over the bucket-partitioned blobs: parse (np.frombuffer,
+    zero-copy), build ONE global term dictionary for the partition via C++
+    dictionary_encode, lexsort (doc_id within term code), split groups on
+    (code, salt) change, and emit the standard postings batches.
+
+    Holds one partition's posting rows in memory (~24 B/posting) — partition
+    count bounds that exactly like the sort buffer did for the 'arrow' path."""
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        docs_l: list[np.ndarray] = []
+        tf_l: list[np.ndarray] = []
+        w_l: list[np.ndarray] = []
+        codes_l: list[np.ndarray] = []
+        dict_chunks: list[pa.Array] = []
+        ks: list[int] = []
+        for batch in batches:
+            for bl in batch.column(batch.schema.get_field_index("blob")).to_pylist():
+                n, k, dblen = (int(x) for x in np.frombuffer(bl, np.int64, 3))
+                off = 24
+                docs_l.append(np.frombuffer(bl, np.int64, n, off)); off += 8 * n
+                tf_l.append(np.frombuffer(bl, np.int32, n, off)); off += 4 * n
+                w_l.append(np.frombuffer(bl, np.float32, n, off)); off += 4 * n
+                codes_l.append(np.frombuffer(bl, np.int32, n, off)); off += 4 * n
+                offs = np.frombuffer(bl, np.int32, k + 1, off); off += 4 * (k + 1)
+                dbytes = np.frombuffer(bl, np.uint8, dblen, off)
+                dict_chunks.append(pa.StringArray.from_buffers(
+                    k, pa.py_buffer(offs.tobytes()), pa.py_buffer(dbytes.tobytes())))
+                ks.append(k)
+        if not docs_l:
+            return
+        denc = pc.dictionary_encode(pa.chunked_array(dict_chunks).combine_chunks())
+        gidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gterms = denc.dictionary
+        base = np.concatenate([[0], np.cumsum(ks)[:-1]]).astype(np.int64)
+        gcodes = np.concatenate([gidx[b + c] for b, c in zip(base, codes_l)])
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tf_l).astype(np.int64)
+        ws = np.concatenate(w_l)
+        order = np.lexsort((docs, gcodes))
+        docs, tfs, ws, gcodes = docs[order], tfs[order], ws[order], gcodes[order]
+        salts = docs >> salt_shift
+        chg = np.flatnonzero((gcodes[1:] != gcodes[:-1]) | (salts[1:] != salts[:-1])) + 1
+        heads = np.concatenate([[0], chg]).astype(np.int64)
+        docs_list = np.split(docs, chg)
+        tfs_list = np.split(tfs, chg)
+        ws_list = np.split(ws, chg)
+        for lo in range(0, len(docs_list), groups_per_batch):
+            hi = min(lo + groups_per_batch, len(docs_list))
+            term_heads = gterms.take(pa.array(gcodes[heads[lo:hi]]))
+            yield _emit_arrays(term_heads, docs_list[lo:hi], tfs_list[lo:hi],
+                               ws_list[lo:hi], block_size, salt_shift)
 
     return encode

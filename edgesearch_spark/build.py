@@ -72,7 +72,7 @@ class IndexConfig:
     max_query_terms: int = 50  # reference default, src/main.rs:16
     max_results: int = 50  # reference default, src/main.rs:15
     idf: str = "lucene"  # ln(1 + (N-df+0.5)/(df+0.5)) — non-negative variant
-    postings_impl: str = "arrow"  # 'arrow' (mapInArrow, zero-PyObject) | 'sortstream' (pandas) | 'collect'
+    postings_impl: str = "pack"  # 'pack' (blob shuffle, fastest) | 'arrow' | 'sortstream' | 'collect'
     # demo-convention normalization (build.ts:14-29,50): term remapping
     # (ms→microsoft style) and `{field}_` term prefixing. Honored by the
     # 'arrow' and 'sortstream' tokenizers (parity-tested byte-identical);
@@ -271,7 +271,7 @@ def build_index(
     if (doc_id_col is None) == (order_cols is None):
         raise ValueError("exactly one of doc_id_col / order_cols required")
     if (cfg.word_map or cfg.field_prefix) and cfg.postings_impl == "collect":
-        raise ValueError("word_map/field_prefix require postings_impl 'arrow' or 'sortstream'")
+        raise ValueError("word_map/field_prefix require postings_impl 'pack', 'arrow' or 'sortstream'")
     os.makedirs(out_dir, exist_ok=True)
     n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
     metrics: list[StageMetrics] = []
@@ -365,7 +365,27 @@ def build_index(
         t0 = time.monotonic()
         from pyspark import StorageLevel
 
-        if cfg.postings_impl == "arrow":
+        if cfg.postings_impl == "pack":
+            # binary-blob shuffle: the tokenizer pre-packs each
+            # (hash(term), salt)-bucket of a batch into one blob, so the
+            # shuffle and BOTH Arrow crossings move thousands of binary rows
+            # instead of tens of millions of posting rows — removing the
+            # JVM→Python row-conversion floor the profiler identified
+            # (BENCH/BASELINE.md round-3 substage table). The encoder sorts
+            # each partition in numpy, so the JVM sort disappears too.
+            from .arrow_pipeline import make_pack_encoder, tokenize_pack_arrow
+
+            packed = tokenize_pack_arrow(
+                docs_df, doc_id_col="doc_id", content_col=content_col,
+                n_buckets=16 * n_part, salt_shift=cfg.salt_shift,
+                k1=cfg.k1, b=cfg.b, avgdl=avgdl,
+                word_map=cfg.word_map, field_prefix=cfg.field_prefix,
+            )
+            stream = packed.repartition(4 * n_part, "bucket")
+            encoded = stream.mapInArrow(
+                make_pack_encoder(cfg.block_size, cfg.salt_shift), schema=POSTINGS_SCHEMA
+            )
+        elif cfg.postings_impl == "arrow":
             # zero-PyObject hot path: Arrow-native tokenizer + encoder
             # (arrow_pipeline.py) around the same single (term, salt) shuffle
             from .arrow_pipeline import make_stream_encoder_arrow, tokenize_pairs_arrow

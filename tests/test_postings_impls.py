@@ -26,7 +26,7 @@ def _fingerprint(spark, out):
 def test_sortstream_equals_collect(spark, tmp_path_factory):
     corpus = generate_corpus(spark, N, seed=8)
     outs = {}
-    for impl in ("sortstream", "collect", "arrow"):
+    for impl in ("sortstream", "collect", "arrow", "pack"):
         out = str(tmp_path_factory.mktemp(impl))
         build_index(spark, corpus, out,
                     IndexConfig(block_size=16, salt_shift=6, postings_impl=impl),
@@ -88,7 +88,7 @@ def test_word_map_field_prefix_parity_arrow_vs_pandas(spark, tmp_path_factory):
     corpus = generate_corpus(spark, 300, seed=12)
     wmap = {"util1": "helper", "import": "include"}
     outs, dirs = {}, {}
-    for impl in ("arrow", "sortstream"):
+    for impl in ("arrow", "sortstream", "pack"):
         out = str(tmp_path_factory.mktemp(f"wm_{impl}"))
         build_index(
             spark, corpus, out,
