@@ -77,3 +77,31 @@ def test_random_queries_match_oracle(engines):
             assert (w.total, list(w.doc_ids)) == (s_want.total, s_want.doc_ids), (i, q)
             assert np.allclose(w.scores, s_want.scores, atol=1e-9), (i, q)
             assert w.continuation == s_want.continuation, (i, q)
+
+
+def test_random_queries_match_oracle_routed_engine(spark, engines):
+    """Same parity property with the distributed auto-route forced on
+    (hot_route_df=10 ⇒ nearly every union-shaped query runs as a Spark
+    plan): the distributed twin must be indistinguishable from the kernel
+    AND the brute-force oracle across random mode mixes, continuations and
+    k — missing-term rules, the exclude-only quirk, require∩contain score
+    dedup, and pagination all included."""
+    eager, oracle = engines
+    routed = SearchEngine(spark, eager.index_dir, lazy_min_df=10, hot_route_df=10)
+    rng = random.Random(31337)
+    n_routed = 0
+    for i in range(18):
+        q = _random_query(rng)
+        b_got, b_want = routed.search(q), oracle.search(q)
+        n_routed += routed.last_route == "distributed"
+        assert (b_got.total, b_got.continuation, list(b_got.doc_ids)) == (
+            b_want.total, b_want.continuation, b_want.doc_ids), (i, q)
+        s_got, s_want = routed.search_bm25(q), oracle.search_bm25(q)
+        assert (s_got.total, s_got.continuation, list(s_got.doc_ids)) == (
+            s_want.total, s_want.continuation, s_want.doc_ids), (i, q)
+        assert np.allclose(s_got.scores, s_want.scores, atol=1e-9), (i, q)
+        if q.require or q.contain:
+            w = routed.search_bm25_wand(q)
+            assert (w.total, list(w.doc_ids)) == (s_want.total, s_want.doc_ids), (i, q)
+            assert np.allclose(w.scores, s_want.scores, atol=1e-9), (i, q)
+    assert n_routed >= 8, f"route never engaged ({n_routed})"
