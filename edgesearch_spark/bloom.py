@@ -69,20 +69,35 @@ def build_term_bloom(spark: SparkSession, term_stats: DataFrame, out_path: str,
     from pyspark.sql import functions as F
 
     n_ranges = max(1, -(-n_terms // RANGE_TERMS))
+    karr = np.arange(BLOOM_K, dtype=np.uint64)[None, :]
 
     def make_bloom(pdf: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized: h1/h2 arrive as JVM-computed md5 windows, so no
+        # per-term Python hashing (the stage was hash-bound before)
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64) | np.uint64(1)
+        pos = (h1[:, None] + karr * h2[:, None]) % np.uint64(M_BITS)
         bits = np.zeros(M_BITS // 8, dtype=np.uint8)
-        _set_bits(bits, pdf["term"])
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).ravel(),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8).ravel())
         return pd.DataFrame({
             "range_id": [int(pdf["rid"].iloc[0])],
             "n_ranges": [n_ranges],
             "bits": [bits.tobytes()],
         })
 
-    # rid in the JVM must equal term_range_id: int(md5hex[24:32], 16) % R
-    rid = F.conv(F.substring(F.md5(F.col("term")), 25, 8), 16, 10).cast("long") % n_ranges
+    # JVM md5 windows must equal the driver probe's (_positions /
+    # term_range_id): hex chars 1-8 = digest bytes 0:4 (h1), chars 9-16 =
+    # bytes 4:8 (h2), chars 25-32 = bytes 12:16 (range id).
+    # term_stats is unique per term within one build (groupBy output), so no
+    # distinct — duplicate inserts would be idempotent for a bloom anyway.
+    md5 = F.md5(F.col("term"))
     (
-        term_stats.select("term").distinct().withColumn("rid", rid)
+        term_stats.select(
+            (F.conv(F.substring(md5, 25, 8), 16, 10).cast("long") % n_ranges).alias("rid"),
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
         .groupBy("rid")
         .applyInPandas(make_bloom, "range_id long, n_ranges long, bits binary")
         .write.mode("overwrite").parquet(out_path)

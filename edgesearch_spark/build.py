@@ -11,9 +11,10 @@ chunks. Our flow, as declarative Spark stages (three shuffles total):
   terms     groupBy(term) → df, cf, max BM25 tf-weight      [shuffle: term]
             (the reference computes df and drops it — src/build/mod.rs:62,88;
             we keep it: it is the BM25 idf input)
-  postings  pairs + salt(doc_id >> shift) → groupBy(term, salt) collect
-            sorted postings → numpy delta+varint block encode (mapInPandas)
+  postings  tokenize+pack (bucket = hash(term,salt) blobs) → repartition
+            (bucket) → numpy sort + adaptive block encode (mapInArrow)
             → parquet range-sorted by (term, salt)          [shuffle: term+salt]
+  blooms    absent-term bloom sidecar (bloom.py)            [reduce only]
 
 Skew: a plain groupBy(term) would put a hot term's entire posting list in
 one task (the `import`-class problem at 10^12 files). The salt — a docID
@@ -513,7 +514,11 @@ def build_index(
 
         t0 = time.monotonic()
         ts_df = spark.read.parquet(terms_path)
-        n_terms = ts_df.count()
+        try:  # the terms stage already counted — skip the extra job
+            with open(_manifest_path(out_dir, "terms")) as f:
+                n_terms = int(json.load(f)["rows"])
+        except Exception:
+            n_terms = ts_df.count()
         bloom_path = os.path.join(out_dir, "term_bloom")
         n_ranges = build_term_bloom(spark, ts_df, bloom_path, n_terms)
         dt = time.monotonic() - t0

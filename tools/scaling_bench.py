@@ -202,8 +202,24 @@ def main() -> None:
         "```",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written sections (profiling tables etc.) the generator
+    # does not own: everything between PRESERVED markers in the old file is
+    # re-inserted before the codec-footprint section
+    preserved = ""
+    try:
+        with open(out_path) as f:
+            old = f.read()
+        lo = old.index("## Postings-stage substage profile")
+        hi = old.index("## Adaptive-codec footprint")
+        preserved = old[lo:hi]
+    except (OSError, ValueError):
+        pass
+    text = "\n".join(lines) + "\n"
+    if preserved:
+        text = text.replace("## Adaptive-codec footprint", preserved + "## Adaptive-codec footprint", 1)
+    with open(out_path, "w") as f:
+        f.write(text)
     print(f"median speedup={med:.2f}x eff={eff:.2f} ceiling={ceiling:.2f} "
           f"eff_vs_ceiling={eff_vs_ceiling:.2f} → BENCH/BASELINE.md")
 
