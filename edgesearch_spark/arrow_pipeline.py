@@ -89,23 +89,72 @@ def _tokenize_batch(batch: pa.RecordBatch, doc_id_col: str, content_col: str,
                     wmap: dict, prefix: str):
     """One batch of (doc_id, content) → (doc_out, code_out, tf, dl, uniques)
     — the shared tokenize core of the 'arrow' and 'pack' postings paths.
-    Returns None for an all-empty batch."""
+    Returns None for an all-empty batch.
+
+    ASCII rows (the overwhelming case for source code) take a fully C++
+    path: utf8_lower → split_pattern_regex("[^a-z0-9]+") → list_flatten →
+    dictionary_encode — per-token work never touches a PyObject. Non-ASCII
+    or null rows fall back to the original Python path (re.findall over
+    str.lower), whose semantics the C++ path matches EXACTLY on ASCII
+    (same character classes after lowering; UTF-8 length == byte length ⇔
+    pure ASCII), so output is byte-identical to the pandas tokenizer either
+    way (parity-tested incl. a mixed ascii/unicode corpus)."""
     import pandas as pd
 
     doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
-    contents = batch.column(batch.schema.get_field_index(content_col)).to_pylist()
-    tok_lists = [_TOKEN_PAT.findall(c.lower()) if c else [] for c in contents]
-    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
-    if lens.sum() == 0:
+    carr = batch.column(batch.schema.get_field_index(content_col))
+    ascii_np = np.asarray(
+        pc.and_kleene(pc.equal(pc.binary_length(carr), pc.utf8_length(carr)),
+                      pc.is_valid(carr)).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+
+    # ---- C++ fast path over the ASCII rows ----
+    if ascii_np.all():
+        sel, docs_sel = carr, doc_ids
+    else:
+        sel = carr.take(pa.array(np.flatnonzero(ascii_np)))
+        docs_sel = doc_ids[ascii_np]
+    if len(sel):
+        toks = pc.split_pattern_regex(pc.utf8_lower(sel), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.less_equal(pc.binary_length(flat), MAX_TERM_BYTES))
+        keep_np = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=bool)
+        denc = pc.dictionary_encode(flat.filter(keep))
+        a_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        a_uniques = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        a_docrep = docs_sel[parent[keep_np]]
+    else:
+        a_codes, a_uniques, a_docrep = np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64)
+
+    # ---- exact Python fallback for non-ASCII / null rows ----
+    if ascii_np.all():
+        p_flat, p_docrep = np.empty(0, object), np.empty(0, np.int64)
+    else:
+        py_contents = carr.take(pa.array(np.flatnonzero(~ascii_np))).to_pylist()
+        py_docs = doc_ids[~ascii_np]
+        tok_lists = [_TOKEN_PAT.findall(c.lower()) if c else [] for c in py_contents]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+        p_docrep = np.repeat(py_docs, lens)
+        if int(lens.sum()):
+            p_flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+            plen = np.fromiter((len(t) for t in p_flat), np.int64, count=len(p_flat))
+            ok = plen <= MAX_TERM_BYTES  # original rule: character length cap
+            p_flat, p_docrep = p_flat[ok], p_docrep[ok]
+        else:
+            p_flat = np.empty(0, object)
+
+    if a_codes.size == 0 and p_flat.size == 0:
         return None
-    doc_rep = np.repeat(doc_ids, lens)
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    codes, uniques = pd.factorize(flat, sort=False)
-    ulen = np.fromiter((len(u) for u in uniques), np.int64, count=len(uniques))
-    bad = np.flatnonzero(ulen > MAX_TERM_BYTES)
-    if bad.size:
-        keep = ~np.isin(codes, bad)
-        codes, doc_rep = codes[keep], doc_rep[keep]
+    if p_flat.size:
+        # merge paths: re-factorize the union (rare — only unicode batches)
+        all_terms = np.concatenate([a_uniques[a_codes], p_flat]) if a_codes.size else p_flat
+        doc_rep = np.concatenate([a_docrep, p_docrep])
+        codes, uniques = pd.factorize(all_terms, sort=False)
+    else:
+        codes, uniques, doc_rep = a_codes, a_uniques, a_docrep
     if wmap or prefix:
         s = pd.Series(np.asarray(uniques, dtype=object))
         if wmap:

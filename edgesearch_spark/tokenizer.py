@@ -96,7 +96,9 @@ def tokenize_pairs_pandas(
             # All C-path ops (north rule: no per-row python). A string
             # groupby over millions of exploded tokens dominated profiles;
             # factorize → composite int key → np.unique is ~5-10× cheaper.
-            toks = pdf[content_col].str.lower().str.findall(pat)
+            # fillna: a null content cell tokenizes to zero terms (matches
+            # the arrow path's `if c else []`), instead of poisoning str.len
+            toks = pdf[content_col].fillna("").str.lower().str.findall(pat)
             lens = toks.str.len().to_numpy(np.int64)
             doc_rep = np.repeat(pdf[doc_id_col].to_numpy(np.int64), lens)
             if doc_rep.size == 0:

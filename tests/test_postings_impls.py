@@ -139,3 +139,29 @@ def test_postings_file_size_budget(spark, tmp_path_factory):
     # parquet per-file floor is a few KB of footer; assert no file blows past
     # the target by more than the expected overhead factor
     assert max(sizes) < (24 << 10) * 4, sorted(sizes)[-3:]
+
+
+def test_tokenizer_unicode_null_parity(spark):
+    """The arrow tokenizer's C++ ASCII fast path + Python fallback must be
+    row-for-row identical to the pandas tokenizer on unicode, null, empty,
+    over-long-token, and emoji content (and under word_map/prefix)."""
+    from edgesearch_spark.arrow_pipeline import tokenize_pairs_arrow
+    from edgesearch_spark.tokenizer import tokenize_pairs_pandas
+
+    rows = [
+        (0, "Hello WORLD foo123 bar"),
+        (1, "café résumé naïve"),
+        (2, "İstanbul STRASSE ß gross"),
+        (3, None),
+        (4, ""),
+        (5, "日本語 text mixed 中文 abc42"),
+        (6, "x" * 600 + " short ok"),
+        (7, "emoji 🎉 party42"),
+        (8, "plain ascii only line two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    for kw in ({}, dict(word_map={"abc42": "merged", "text": "merged"}, field_prefix="f")):
+        a = sorted(map(tuple, tokenize_pairs_arrow(df, "doc_id", "content", **kw).collect()))
+        p = sorted(map(tuple, tokenize_pairs_pandas(df, "doc_id", "content", **kw).collect()))
+        assert a == p, kw
+    assert len(a) > 0
