@@ -916,6 +916,45 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_windowed_stats(spark, sf_dir):
+    """STREAMING watermarked tumbling-window aggregation batch-replayed
+    over the events table (complete mode + availableNow): per-minute event
+    counts and payload-byte stats — proves the windowed operator matches a
+    plain batch GROUP BY time-bucket."""
+    import hashlib
+    import os
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", F.col("event_type").alias("content"))
+    tag = hashlib.md5(f"win:{sf_dir}".encode()).hexdigest()[:8]
+    base = os.path.join("/tmp", f"edgesearch_win_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev.coalesce(1).write.parquet(src)
+
+    from ..streaming.windowed import windowed_doc_stats
+
+    stream = spark.readStream.schema("ts timestamp, content string").parquet(src)
+    sink = f"stream_win_{tag}"
+    q = (
+        windowed_doc_stats(stream, window="1 minute", watermark="2 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    return spark.table(sink).select("win_start", "n_docs", "n_bytes", "avg_len")
+
+
+SQL_STREAM_WINDOWED_STATS = """
+SELECT time_bucket(INTERVAL 1 minute, ts) AS win_start,
+       count(*) AS n_docs,
+       CAST(sum(strlen(event_type)) AS BIGINT) AS n_bytes,
+       round(avg(strlen(event_type)), 2) AS avg_len
+FROM events GROUP BY 1
+"""
+
+
 SQL_STREAM_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts,
@@ -1119,6 +1158,7 @@ QUERIES = {
     "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
+    "stream_windowed_stats": (q_stream_windowed_stats, SQL_STREAM_WINDOWED_STATS),
     "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
     "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),

@@ -147,3 +147,29 @@ def test_multisegment_lazy_parity(spark, corpus_parts, tmp_path_factory):
         assert np.allclose(sa.scores, sb.scores, atol=1e-12), q
     from edgesearch_spark.engine import LazyTermPostings
     assert any(isinstance(p, LazyTermPostings) for p in lazy._cache.values() if p)
+
+
+def test_multisegment_hot_route_parity(spark, corpus_parts, tmp_path_factory):
+    """The distributed auto-route must compose with segment unions: the
+    routed plan decodes self._postings_df (union of segments) and joins the
+    union doclens, so a routed MultiSegmentEngine returns identical results
+    to the eager one — boolean, exhaustive BM25, and WAND."""
+    root = str(tmp_path_factory.mktemp("route_multi"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    for epoch in range(3):
+        indexer.ingest_batch(spark.read.parquet(f"{corpus_parts}/drop_{epoch}"), epoch)
+    eager = indexer.engine()
+    routed = indexer.engine()
+    routed.lazy_min_df = 1
+    routed.hot_route_df = 1
+    n_routed = 0
+    for q in QUERIES[:4]:
+        a, b = eager.search(q), routed.search(q)
+        n_routed += routed.last_route == "distributed"
+        assert (a.total, a.continuation, list(a.doc_ids)) == (b.total, b.continuation, list(b.doc_ids)), q
+        sa, sb = eager.search_bm25(q), routed.search_bm25(q)
+        assert list(sa.doc_ids) == list(sb.doc_ids), q
+        assert np.allclose(sa.scores, sb.scores, atol=1e-12), q
+        wa, wb = eager.search_bm25_wand(q), routed.search_bm25_wand(q)
+        assert list(wa.doc_ids) == list(wb.doc_ids), q
+    assert n_routed >= 1, "route never engaged on the multi-segment engine"
