@@ -282,6 +282,23 @@ class LazyTermPostings:
         self._ensure_payload(allsh)
         return np.concatenate([decode_all(self._payload[s])[0] for s in range(self.n_shards)])
 
+    def first_docs(self, n: int) -> np.ndarray:
+        """First ``n`` docIDs in ascending order, fetching only the leading
+        shards that cover them (shards are docID-disjoint and sorted) —
+        O(page), never O(df). Serves single-term docID-ordered pagination."""
+        got: list[np.ndarray] = []
+        have = 0
+        for s in range(self.n_shards):
+            if have >= n:
+                break
+            self._ensure_payload(np.array([s]))
+            d = decode_all(self._payload[s])[0]
+            got.append(d)
+            have += d.size
+        if not got:
+            return np.empty(0, np.int64)
+        return np.concatenate(got)[:n]
+
     # ---- _union_total interface: shard granularity ----
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Shard-level ranges (disjoint, sorted, exact counts) — the union
@@ -754,11 +771,40 @@ class SearchEngine:
         # exclude-only quirk: the excluded union IS the result (wasm/index.c:100-104)
         return per_doc.filter(F.col("exc_hit") == 1).select("doc_id", "score")
 
+    def _single_union_term(self, q: Query, tp: dict):
+        """The postings object when the boolean result set is exactly ONE
+        term's posting list (contain-only with one existing contain term
+        and no existing exclude, or the exclude-only quirk with one existing
+        exclude term) — the most common hot-query shape. Else None."""
+        if q.require:
+            return None
+        contain = [t for t in q.contain if tp[t] is not None]
+        exclude = [t for t in q.exclude if tp[t] is not None]
+        if contain:
+            return tp[contain[0]] if len(contain) == 1 and not exclude else None
+        if exclude:
+            return tp[exclude[0]] if len(exclude) == 1 else None
+        return None
+
     def _search_distributed(self, q: Query, tp: dict) -> SearchResult:
         """Boolean page + exact total without driver materialization: count
         and docID-ordered limit run cluster-side; the driver receives ≤
         continuation+k docIDs. Persisted between the two actions (executor
-        memory w/ disk spill — never the driver)."""
+        memory w/ disk spill — never the driver).
+
+        Single-term unions skip the cluster entirely: total = df (exact,
+        from shard summaries) and the docID-ordered page decodes only the
+        leading shards — O(page) driver work, zero Spark jobs."""
+        single = self._single_union_term(q, tp)
+        if single is not None:
+            total = int(single.df)
+            if q.continuation >= total:
+                return SearchResult(total, None, [])
+            k_eff = q.continuation + q.k
+            page = (single.first_docs(k_eff) if isinstance(single, LazyTermPostings)
+                    else single.all_docs()[:k_eff])[q.continuation :]
+            last = q.continuation + page.size - 1
+            return SearchResult(total, None if last == total - 1 else last + 1, page.tolist())
         matched = self._matched_docs_df(q, tp, scored=False).persist()
         try:
             total = matched.count()
@@ -785,10 +831,14 @@ class SearchEngine:
         within ~1 ulp of each other can swap in the cluster-side ordering;
         taking 2·k_eff+16 candidates and re-ranking exactly restores the
         kernel's exact order unless >k_eff+16 docs tie within float noise."""
+        single = self._single_union_term(q, tp)
         matched = self._matched_docs_df(q, tp, scored=True).persist()
         try:
-            total = matched.count() if exact_total else -1
-            if exact_total and q.continuation >= total:
+            if single is not None:
+                total = int(single.df)  # exact from shard summaries — no count job
+            else:
+                total = matched.count() if exact_total else -1
+            if total >= 0 and q.continuation >= total:
                 return SearchResult(total, None, [], [])
             rows = (
                 matched.orderBy(F.col("score").desc(), F.col("doc_id"))

@@ -69,10 +69,25 @@ def test_bool_contain_hot_routes_distributed(engines):
     _same(a, b)
     assert a.total == N
     assert routed.last_route == "distributed"
-    # the boolean route never pulls payload bytes to the driver at all
+    # single-term union: the page decodes only the LEADING shards (O(page),
+    # zero Spark jobs); total comes from shard summaries
     hot = routed._cache["hot"]
     assert isinstance(hot, LazyTermPostings)
-    assert hot.bytes_fetched == 0, hot.bytes_fetched
+    assert 0 < hot.bytes_fetched < hot.total_payload_bytes / 8, (
+        hot.bytes_fetched, hot.total_payload_bytes)
+
+
+def test_bool_multi_term_hot_union_zero_driver_payload(engines):
+    """MULTI-term hot unions still run fully cluster-side — no payload
+    bytes reach the driver kernel at all."""
+    eager, _, routed = engines
+    q = Query.make(contain=["hot", "third"], k=50)
+    _same(eager.search(q), routed.search(q))
+    assert routed.last_route == "distributed"
+    for t in ("hot", "third"):
+        p = routed._cache[t]
+        if isinstance(p, LazyTermPostings):
+            assert p.bytes_fetched == 0, (t, p.bytes_fetched)
 
 
 def test_bool_contain_hot_pagination(engines):
