@@ -185,3 +185,70 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Popcount of XOR — bit_count is native in Spark 3.4+."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair graph: (doc_id, cluster_id) where
+    cluster_id = the smallest docID reachable through dup edges (singletons
+    label themselves). The step after candidate generation in every dedup
+    pipeline — pairs alone can't answer "keep one doc per duplicate group".
+
+    Min-label propagation: each iteration every node takes
+    min(own label, neighbors' labels) — one equi-join + one groupBy per
+    round, converging in O(component diameter) rounds. Near-dup components
+    are small and dense (diameter ≲ 4), so this beats the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) that pays ~2× the joins per round to
+    guarantee O(log n) rounds on adversarial chains; switch to that shape
+    if components with huge diameters are expected. Each iteration's labels
+    are persisted and the previous unpersisted — lineage stays O(1) deep.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias(id_col)).distinct()
+    labels = nodes.select(F.col(id_col).cast("long").alias(id_col)).withColumn(
+        "cluster_id", F.col(id_col)
+    ).persist()
+    labels.count()
+    sym = sym.persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["dst"] == labels[id_col])
+                .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels[id_col] == nbr["src"], "left")
+                .select(
+                    labels[id_col],
+                    F.least(
+                        labels["cluster_id"],
+                        F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), id_col)
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels

@@ -1026,6 +1026,109 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------- training-pipeline ops: clustering / chunking / splitting ----------
+
+def q_dedup_cc_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: shingle-Jaccard pairs (the oracled edge set) →
+    connected components via min-label propagation → (doc_id, cluster_id =
+    smallest docID in the component; singletons label themselves). The step
+    that turns pairwise dedup output into 'keep one doc per group'."""
+    from ..operators.dedup import connected_components, shingle_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = shingle_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(edges.select("a", "b"), nodes=docs)
+
+
+SQL_DEDUP_CC_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pr AS (
+  SELECT i.a, i.b FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+  WHERE i.common * 1.0 / (sa.sz + sb.sz - i.common) >= 0.5
+),
+edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Training-window prep: each doc split into 50-token chunks with
+    stride 40 (10-token overlap) — the LLM-pretraining chunking shape.
+    Pure JVM: tokens array → sequence of window starts → explode → slice."""
+    from ..tokenizer import _tokens_col
+
+    W, S = 50, 40
+    d = (
+        _docs(spark, sf_dir).select("doc_id", _tokens_col("text").alias("ts"))
+        .withColumn("n", F.size("ts")).filter(F.col("n") > 0)
+        .withColumn("s", F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(S))))
+    )
+    return d.select(
+        "doc_id",
+        F.expr("(s - 1) div 40").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("ts", F.col("s"), F.lit(W))).alias("chunk"),
+        F.least(F.lit(W), F.col("n") - F.col("s") + 1).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+),
+nn AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+st AS (SELECT doc_id, ts, n, unnest(range(1, n + 1, 40)) AS s FROM nn)
+SELECT doc_id, CAST((s - 1) // 40 AS BIGINT) AS chunk_id,
+       array_to_string(ts[s : LEAST(s + 49, n)], ' ') AS chunk,
+       CAST(LEAST(50, n - s + 1) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/validation/test assignment (90/5/5) from a
+    salted md5 of the docID — stable under reprocessing, no RNG state, the
+    standard leakage-safe split for training corpora."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("split1"), F.col("doc_id").cast("string"))), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(h < 90, "train").when(h < 95, "validation").otherwise("test").alias("split"),
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'validation' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split1' || ':' || doc_id::VARCHAR), 1, 4) AS BIGINT) % 100 AS h
+  FROM documents
+)
+"""
+
+
 # ---------- index-backed entries (the compressed-index + kernel path) ----------
 
 _IDX_CACHE: dict[str, str] = {}
@@ -1137,6 +1240,9 @@ QUERIES = {
     "dedup_shingle_jaccard": (q_dedup_shingle_jaccard, SQL_DEDUP_SHINGLE_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_cc_clusters": (q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMBEDDING_NEAR_DUP_LSH),

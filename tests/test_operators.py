@@ -308,3 +308,22 @@ def test_png_dispatch_with_or_without_pil():
     assert img.shape == (3, 4, 3)
     assert tuple(img[0, 1]) == (50, 0, 30)
     assert tuple(img[2, 3]) == (150, 160, 150)
+
+
+def test_connected_components_chain_and_star(spark):
+    """Label propagation must converge past multi-hop chains (iteration
+    count > 1) and keep singletons self-labeled."""
+    from edgesearch_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # 5-node chain → cluster 1
+         (10, 11), (10, 12), (10, 13),          # star → cluster 10
+         (20, 21)],                              # pair → cluster 20
+        "a long, b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 20, 21, 99]],
+                                  "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 99: 99}, got
