@@ -302,7 +302,30 @@ def build_index(
              .write.mode("overwrite").parquet(docs_path))
         if cache is not None:
             cache.unpersist()
-        n_docs = spark.read.parquet(docs_path).count()
+        # fold the docID invariant check into the post-write count: the
+        # engine's norms cache and positional docID semantics assume a DENSE
+        # 0..n-1 id space, and a user-supplied doc_id_col with gaps or
+        # duplicates would corrupt results silently. min/max are exact;
+        # distinctness is approximate (1% rsd — exact would be a shuffle).
+        chk = spark.read.parquet(docs_path).agg(
+            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.approx_count_distinct("doc_id", 0.01).alias("nd"),
+        ).collect()[0]
+        n_docs = int(chk["n"] or 0)
+        if n_docs:
+            # contiguous [lo, lo+n-1]: standalone builds start at 0, segment
+            # builds (streaming/incremental.py) at their docID-space offset
+            if int(chk["lo"]) < 0 or int(chk["hi"]) - int(chk["lo"]) != n_docs - 1:
+                raise ValueError(
+                    f"doc_id must be a dense contiguous range: got min={chk['lo']} "
+                    f"max={chk['hi']} for n={n_docs} rows (use order_cols= to have "
+                    f"build assign docIDs)"
+                )
+            if int(chk["nd"]) < 0.95 * n_docs:
+                raise ValueError(
+                    f"doc_id looks non-unique: ~{chk['nd']} distinct of {n_docs} rows"
+                )
         dt = time.monotonic() - t0
         m = StageMetrics("docs", n_docs, dt, {"docs_per_sec": n_docs / dt if dt else None})
         metrics.append(m)

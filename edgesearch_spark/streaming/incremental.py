@@ -102,13 +102,55 @@ class IncrementalIndexer:
         )
 
     def engine(self) -> "MultiSegmentEngine":
-        return MultiSegmentEngine(self.spark, self.segment_dirs())
+        return MultiSegmentEngine(self.spark, self.segment_dirs(),
+                                  tombstones=self.deleted_ids())
+
+    # ---- deletes: Lucene-style tombstones ----
+    # A delete is VISIBILITY filtering, not statistical removal: results
+    # never include a deleted doc, but df/avgdl keep counting it until
+    # compact() rewrites the index — exactly Lucene's live-docs semantics
+    # (deleted docs affect docFreq until segments merge).
+    @property
+    def _tombstone_dir(self) -> str:
+        return os.path.join(self.root, "_tombstones")
+
+    def delete_docs(self, doc_ids) -> None:
+        """Mark docIDs deleted (list[int] or a DataFrame with doc_id).
+        Append-only; re-deleting is idempotent (read side dedups)."""
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+        df.coalesce(1).write.mode("append").parquet(self._tombstone_dir)
+
+    def deleted_ids(self) -> list[int]:
+        if not os.path.exists(self._tombstone_dir):
+            return []
+        return sorted(
+            r["doc_id"]
+            for r in self.spark.read.parquet(self._tombstone_dir).distinct().collect()
+        )
 
     def compact(self, out_dir: str) -> str:
         """Merge all segments into one fresh index (rebuilds block-max
-        metadata under the global avgdl, re-enabling the WAND kernel)."""
+        metadata under the global avgdl, re-enabling the WAND kernel).
+        Tombstoned docs are dropped for good and the surviving docs get a
+        fresh dense docID space (ordered by old docID, so relative order —
+        and therefore default-results order — is preserved)."""
         segs = self.segment_dirs()
         docs = self.spark.read.parquet(*[f"{s}/docs" for s in segs])
+        deleted = self.deleted_ids()
+        if deleted:
+            tomb = self.spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+            docs = (
+                docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+                .withColumnRenamed("doc_id", "__old_id")
+            )
+            build_index(
+                self.spark, docs.drop("sha256"), out_dir, self.cfg,
+                order_cols=("__old_id",), content_col=self.content_col, resume=True,
+            )
+            return out_dir
         build_index(
             self.spark, docs.drop("sha256"), out_dir, self.cfg,
             doc_id_col="doc_id", content_col=self.content_col, resume=True,
@@ -118,11 +160,22 @@ class IncrementalIndexer:
 
 class MultiSegmentEngine(SearchEngine):
     """SearchEngine over the union of segment tables with recomputed global
-    stats — exhaustive BM25 is exact (identical to a single-shot build)."""
+    stats — exhaustive BM25 is exact (identical to a single-shot build).
 
-    def __init__(self, spark: SparkSession, segment_dirs: list[str]):
+    ``tombstones`` (sorted deleted docIDs) adds Lucene-live-docs semantics:
+    every result set, total, default page, and doc fetch excludes deleted
+    docs; scoring statistics (df, avgdl, norms) still include them until
+    ``compact()`` — the exact tradeoff Lucene makes between deletes and
+    merges. The tombstone set is bounded between compactions, so the
+    driver-side filter is O(|tombstones| log) per query."""
+
+    def __init__(self, spark: SparkSession, segment_dirs: list[str],
+                 tombstones: list[int] | None = None):
         if not segment_dirs:
             raise ValueError("no segments")
+        import numpy as np
+
+        self._deleted = np.asarray(sorted(tombstones or []), dtype=np.int64)
         self.spark = spark
         self.index_dir = segment_dirs[0]  # for doclens property base; overridden below
         self._segment_dirs = segment_dirs
@@ -177,6 +230,65 @@ class MultiSegmentEngine(SearchEngine):
     # construction; the union read interleaves shard rows and SearchEngine's
     # (salt, first-block) ordering merges disjoint docID ranges.
 
+    # ---- tombstone visibility filtering ----
+    def _not_deleted_mask(self, docs):
+        import numpy as np
+
+        pos = np.searchsorted(self._deleted, docs)
+        hit = pos < self._deleted.size
+        hit[hit] = self._deleted[pos[hit]] == docs[hit]
+        return ~hit
+
+    def _bool_kernel(self, q, tp):
+        res = super()._bool_kernel(q, tp)
+        if res is None or not self._deleted.size or res.size == 0:
+            return res
+        return res[self._not_deleted_mask(res)]
+
+    def _default_results(self, q):
+        if not self._deleted.size:
+            return super()._default_results(q)
+        import numpy as np
+
+        from ..oracle import SearchResult
+
+        total = self.n_docs - int((self._deleted < self.n_docs).sum())
+        if q.continuation >= total:
+            return SearchResult(total, None, [], [0.0] * 0)
+        # the (c..c+k)-th live docIDs: a window of raw ids large enough to
+        # contain them, minus deletions — |window| ≤ k + |tombstones|
+        lo = q.continuation
+        width = q.k + self._deleted.size
+        start = lo  # rank(d) ≥ d - |deleted| ⇒ the lo-th live id is ≥ lo
+        # the (lo+k)-th live id is ≤ lo + k + |deleted|, so this window
+        # always covers the page: O(k + |tombstones|) work
+        cand = np.arange(start, min(self.n_docs, start + width + 1))
+        cand = cand[self._not_deleted_mask(cand)]
+        # ranks of cand start at rank(start) = start - #deleted<start
+        first_rank = start - int((self._deleted < start).sum())
+        page = cand[lo - first_rank : lo - first_rank + q.k]
+        after = lo + page.size
+        return SearchResult(total, after if total > after else None,
+                            page.tolist(), [0.0] * page.size)
+
+    def _single_union_term(self, q, tp):
+        # the leading-shard shortcut would include deleted docs — disable it
+        return None if self._deleted.size else super()._single_union_term(q, tp)
+
+    def _matched_docs_df(self, q, tp, scored: bool):
+        out = super()._matched_docs_df(q, tp, scored)
+        if not self._deleted.size:
+            return out
+        tomb = self.spark.createDataFrame(
+            [(int(d),) for d in self._deleted], "doc_id long")
+        return out.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    def fetch_docs(self, doc_ids):
+        if self._deleted.size:
+            dead = set(self._deleted.tolist())
+            doc_ids = [d for d in doc_ids if int(d) not in dead]
+        return super().fetch_docs(doc_ids)
+
     def search_bm25_wand(self, q, exact_total: bool = True):
         """Pruned kernel is only rank-safe when block-max weights were baked
         under the live avgdl: each segment baked w = tf/(tf + k1(1-b+b·dl/avgdl_seg)),
@@ -184,8 +296,11 @@ class MultiSegmentEngine(SearchEngine):
         true upper bounds and WAND could silently prune true top-k docs.
         Enforce the compact()-first contract instead of trusting callers:
         delegate to exhaustive (still exact) scoring unless every segment's
-        avgdl matches the global one (e.g. single segment, or post-compact)."""
+        avgdl matches the global one (e.g. single segment, or post-compact).
+        Tombstones also delegate: the union-total metadata algebra and
+        contain-only seeding don't know about live-docs, while the
+        exhaustive path filters through _bool_kernel."""
         fresh = all(abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
-        if not fresh:
+        if not fresh or self._deleted.size:
             return self.search_bm25(q)
         return super().search_bm25_wand(q, exact_total=exact_total)

@@ -1,0 +1,124 @@
+"""Tombstone deletes on the incremental index — Lucene live-docs semantics:
+results/totals/default pages/doc fetch exclude deleted docs immediately;
+scoring statistics keep counting them until compact() merges them away.
+compact() drops tombstoned docs for good and reassigns a dense docID space
+preserving relative order."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from edgesearch_spark.build import IndexConfig
+from edgesearch_spark.engine import SearchEngine
+from edgesearch_spark.oracle import Query
+from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+CFG = IndexConfig(block_size=16, salt_shift=7)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("delroot"))
+    idx = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    for epoch in range(2):
+        rows = [
+            (f"p{epoch}_{i:04d}", f"common{i % 5} word{i % 17} " + ("target " if i % 4 == 0 else "") + f"fill{i}")
+            for i in range(120)
+        ]
+        idx.ingest_batch(spark.createDataFrame(rows, "path string, content string"), epoch)
+    return idx
+
+
+def _live(res, deleted):
+    return [d for d in res.doc_ids if d not in deleted]
+
+
+def test_deletes_filter_all_query_modes(spark, indexed):
+    before = indexed.engine()
+    base = before.search(Query.make(contain=["target"], k=500))
+    assert base.total > 10
+    victims = {base.doc_ids[0], base.doc_ids[3], base.doc_ids[7], 5, 230}
+    indexed.delete_docs(sorted(victims))
+    eng = indexed.engine()
+    assert eng._deleted.size == len(victims)
+
+    # boolean: same docs minus victims, total adjusted
+    after = eng.search(Query.make(contain=["target"], k=500))
+    want = [d for d in base.doc_ids if d not in victims]
+    assert list(after.doc_ids) == want
+    assert after.total == base.total - 3  # three victims matched 'target'
+
+    # bm25 + wand: victims gone, survivor ORDER unchanged (stats untouched)
+    sb = before.search_bm25(Query.make(contain=["target"], k=500))
+    sa = eng.search_bm25(Query.make(contain=["target"], k=500))
+    assert list(sa.doc_ids) == [d for d in sb.doc_ids if d not in victims]
+    wa = eng.search_bm25_wand(Query.make(contain=["target"], k=10))
+    assert list(wa.doc_ids) == list(sa.doc_ids)[:10]
+    assert wa.total == sa.total
+
+    # mixed require/exclude modes
+    for spec in (dict(require=["target"], k=50), dict(require=["common1"], exclude=["target"], k=50),
+                 dict(exclude=["target"], k=50)):
+        a = before.search(Query.make(**spec))
+        b = eng.search(Query.make(**spec))
+        keep = [d for d in a.doc_ids if d not in victims]
+        assert list(b.doc_ids)[: len(keep)] == keep[: len(b.doc_ids)], spec
+
+    # doc fetch refuses deleted ids
+    got = {r["doc_id"] for r in eng.fetch_docs(list(victims) + want[:2]).collect()}
+    assert got == set(want[:2])
+
+
+def test_default_page_skips_deleted(spark, indexed):
+    eng = indexed.engine()
+    deleted = set(eng._deleted.tolist())
+    n_live = 240 - len(deleted)
+    r = eng.search(Query.make(k=10))
+    live_sorted = [d for d in range(240) if d not in deleted]
+    assert r.total == n_live
+    assert list(r.doc_ids) == live_sorted[:10]
+    r2 = eng.search(Query.make(continuation=100, k=7))
+    assert list(r2.doc_ids) == live_sorted[100:107]
+    assert r2.continuation == 107
+    r3 = eng.search(Query.make(continuation=n_live - 2, k=10))
+    assert list(r3.doc_ids) == live_sorted[-2:]
+    assert r3.continuation is None
+
+
+def test_distributed_route_respects_tombstones(spark, indexed):
+    eng = indexed.engine()
+    eng.lazy_min_df = 1
+    eng.hot_route_df = 1
+    deleted = set(eng._deleted.tolist())
+    ref = indexed.engine()
+    q = Query.make(contain=["target", "common2"], k=500)
+    a, b = ref.search(q), eng.search(q)
+    assert eng.last_route == "distributed"
+    assert (a.total, list(a.doc_ids)) == (b.total, list(b.doc_ids))
+    assert not deleted & set(b.doc_ids)
+    s1, s2 = ref.search_bm25(q), eng.search_bm25(q)
+    assert list(s1.doc_ids) == list(s2.doc_ids)
+    assert np.allclose(s1.scores, s2.scores, atol=1e-12)
+
+
+def test_compact_purges_and_reassigns_dense_ids(spark, indexed, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("compacted"))
+    eng = indexed.engine()
+    deleted = set(eng._deleted.tolist())
+    survivors_sha = {
+        r["sha256"]
+        for r in spark.read.parquet(*[f"{s}/docs" for s in indexed.segment_dirs()])
+        .filter(~F.col("doc_id").isin(list(deleted))).select("sha256").collect()
+    }
+    indexed.compact(out)
+    fresh = SearchEngine(spark, out)
+    assert fresh.n_docs == 240 - len(deleted)
+    got_sha = {r["sha256"] for r in spark.read.parquet(f"{out}/docs").select("sha256").collect()}
+    assert got_sha == survivors_sha
+    # dense ids + order preserved: old-id order == new-id order
+    old_new = spark.read.parquet(f"{out}/docs").select("__old_id", "doc_id").collect()
+    pairs = sorted((r["__old_id"], r["doc_id"]) for r in old_new)
+    assert [p[1] for p in pairs] == list(range(len(pairs)))
+    # queries work and exclude nothing (no tombstones anymore)
+    r = fresh.search(Query.make(contain=["target"], k=500))
+    assert r.total == eng.search(Query.make(contain=["target"], k=500)).total

@@ -119,3 +119,21 @@ def test_doc_fetch_join(engine, oracle):
     fetched = engine.fetch_docs(r.doc_ids).orderBy("doc_id").collect()
     assert [row["doc_id"] for row in fetched] == sorted(r.doc_ids)
     assert all(row["content"] for row in fetched)
+
+
+def test_build_rejects_bad_doc_ids(spark, tmp_path_factory):
+    """User-supplied doc_id must be dense 0..n-1 (the engine's norms cache
+    and positional semantics depend on it) — gaps and duplicates fail the
+    build loudly instead of corrupting results silently."""
+    import pytest
+
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("badids"))
+    gappy = spark.createDataFrame([(0, "a"), (2, "b"), (3, "c")], "doc_id long, content string")
+    with pytest.raises(ValueError, match="dense"):
+        build_index(spark, gappy, out + "/g", IndexConfig(), doc_id_col="doc_id", content_col="content")
+    dup = spark.createDataFrame(
+        [(i % 50, f"doc {i}") for i in range(100)], "doc_id long, content string")
+    with pytest.raises(ValueError):
+        build_index(spark, dup, out + "/d", IndexConfig(), doc_id_col="doc_id", content_col="content")
