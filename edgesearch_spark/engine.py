@@ -285,19 +285,16 @@ class LazyTermPostings:
     def first_docs(self, n: int) -> np.ndarray:
         """First ``n`` docIDs in ascending order, fetching only the leading
         shards that cover them (shards are docID-disjoint and sorted) —
-        O(page), never O(df). Serves single-term docID-ordered pagination."""
-        got: list[np.ndarray] = []
-        have = 0
-        for s in range(self.n_shards):
-            if have >= n:
-                break
-            self._ensure_payload(np.array([s]))
-            d = decode_all(self._payload[s])[0]
-            got.append(d)
-            have += d.size
-        if not got:
+        O(page), never O(df). The shard summaries' exact per-shard counts
+        pick the covering prefix up front, so this is ONE payload fetch.
+        Serves single-term docID-ordered pagination."""
+        if self.n_shards == 0 or n <= 0:
             return np.empty(0, np.int64)
-        return np.concatenate(got)[:n]
+        cum = np.cumsum(self._sdf)
+        k = int(np.searchsorted(cum, n)) + 1  # shards 0..k-1 cover n docs
+        need = np.arange(min(k, self.n_shards))
+        self._ensure_payload(need)
+        return np.concatenate([decode_all(self._payload[int(s)])[0] for s in need])[:n]
 
     # ---- _union_total interface: shard granularity ----
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -423,7 +420,10 @@ class SearchEngine:
     def doclens(self) -> np.ndarray:
         if self._doclens is None:
             pdf = self.spark.read.parquet(f"{self.index_dir}/doclens").toPandas()
-            arr = np.zeros(self.n_docs, dtype=np.int64)
+            # int32 halves the norms cache (4 GB at 10^9 docs): dl is a
+            # token count, always < 2^31; score arithmetic promotes to
+            # float64 identically from either width
+            arr = np.zeros(self.n_docs, dtype=np.int32)
             arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
             self._doclens = arr
         return self._doclens

@@ -220,7 +220,7 @@ class MultiSegmentEngine(SearchEngine):
             import numpy as np
 
             pdf = self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs]).toPandas()
-            arr = np.zeros(self.n_docs, dtype=np.int64)
+            arr = np.zeros(self.n_docs, dtype=np.int32)  # matches SearchEngine.doclens
             arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
             self._doclens = arr
         return self._doclens
