@@ -1,0 +1,148 @@
+"""Phrase and regex search over the corpus — the two query shapes a
+source-code search user reaches for beyond boolean/BM25.
+
+The index stores no positions (the reference doesn't either:
+src/build/mod.rs builds presence-only bitmaps), so both operators use the
+classic two-stage design real engines use without positional data:
+
+  candidates — the inverted index ANDs the phrase's terms / the regex's
+               required literal trigram-terms (cheap, pruned scan);
+  verify     — the docs store joins the candidates and a JVM expression
+               checks the exact phrase / regex on content (no Python).
+
+At 10^12 docs stage 1 does the heavy lifting (candidate set ≪ corpus) and
+stage 2 is a broadcast-semi-join + whole-stage-codegen filter over the
+candidates only — the Google Code Search trigram architecture (Cox 2012,
+"Regular Expression Matching with a Trigram Index") re-expressed on the
+term index.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import _tokens_col
+
+_WORD = re.compile(r"[a-zA-Z0-9]+")
+
+
+def phrase_col(content_col: str, phrase_terms: list[str]) -> Column:
+    """True iff the tokenized content contains the terms CONSECUTIVELY.
+    Pure JVM: zip the token array with its shifted selves and look for the
+    phrase tuple — whole-stage-codegen, no UDF."""
+    n = len(phrase_terms)
+    if n == 0:
+        raise ValueError("empty phrase")
+    ts = _tokens_col(content_col)
+    if n == 1:
+        return F.array_contains(ts, phrase_terms[0].lower())
+    shifted = [ts if i == 0 else F.slice(ts, i + 1, F.greatest(F.size(ts) - i, F.lit(0)))
+               for i in range(n)]
+    # arrays_zip pads the shorter shifted arrays with NULL, which can never
+    # equal the phrase tuple — tail windows fall out for free
+    want = F.struct(*[F.lit(t.lower()).alias(str(i)) for i, t in enumerate(phrase_terms)])
+    zipped = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
+    return F.array_contains(zipped, want)
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  content_col: str = "content") -> DataFrame:
+    """Docs whose token stream contains the phrase's terms consecutively."""
+    terms = [t.lower() for t in _WORD.findall(phrase)]
+    return docs.filter(phrase_col(content_col, terms)).select(id_col)
+
+
+def required_literals(pattern: str, min_len: int = 3) -> list[str]:
+    """Alphanumeric literals every match of ``pattern`` must contain —
+    the index-prefilter terms (conservative: only literals OUTSIDE any
+    alternation/optional/class construct are required).
+
+    A tiny, safe extractor: scan the pattern left to right; runs of plain
+    [A-Za-z0-9] characters at top level (not inside (), [], {}, not
+    followed by ?, *, {) are required substrings of every match; keep the
+    word-level tokens of those runs (the tokenizer's term alphabet).
+    Returns [] when nothing is certain — callers then scan without a
+    prefilter."""
+    out: list[str] = []
+    run: list[str] = []
+    depth = 0
+    in_class = False
+    i, n = 0, len(pattern)
+
+    def flush(next_ch: str | None):
+        nonlocal run
+        if run:
+            # a trailing char followed by ? * { is optional — drop just it
+            if next_ch in ("?", "*", "{") and run:
+                run.pop()
+            out.extend(t for t in _WORD.findall("".join(run)) if len(t) >= min_len)
+        run = []
+
+    while i < n:
+        ch = pattern[i]
+        nxt = pattern[i + 1] if i + 1 < n else None
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "\\":
+            flush(None)
+            i += 2
+            continue
+        if ch == "[":
+            flush(None)
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            flush(None)
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch == "|":
+            # alternation makes EVERYTHING at this level non-required
+            flush(None)
+            if depth == 0:
+                return []
+            i += 1
+            continue
+        if depth == 0 and (ch.isalnum()):
+            if nxt in ("?", "*", "{"):
+                flush(nxt)
+                i += 1
+                continue
+            run.append(ch)
+            i += 1
+            continue
+        flush(None)
+        i += 1
+    flush(None)
+    # dedupe, longest-first (most selective prefilter literals first);
+    # ORIGINAL case — these are case-sensitive required substrings
+    seen: dict[str, None] = {}
+    for t in sorted(set(out), key=len, reverse=True):
+        seen[t] = None
+    return list(seen)
+
+
+def regex_search(docs: DataFrame, pattern: str, id_col: str = "doc_id",
+                 content_col: str = "content") -> DataFrame:
+    """Docs matching a (case-sensitive) regex. The required literals become
+    a SUBSTRING-contains AND prefilter ahead of the rlike (sound: they are
+    required substrings of every match — a TOKEN prefilter would be
+    unsound, e.g. literal 'merge' matching inside token 'merged'), so the
+    expensive regex runs on candidates only. Index-side acceleration would
+    need a trigram index (Cox 2012) — the prefilter here is the same idea
+    evaluated scan-side by whole-stage codegen."""
+    cond = F.col(content_col).rlike(pattern)
+    for t in required_literals(pattern)[:4]:  # a few most-selective suffice
+        cond = F.col(content_col).contains(t) & cond
+    return docs.filter(cond).select(id_col)

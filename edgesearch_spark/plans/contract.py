@@ -1026,6 +1026,59 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------- phrase / regex search (functions/textsearch.py) ----------
+
+def q_phrase_match(spark, sf_dir):
+    """Docs containing the phrase 'stream column' (terms CONSECUTIVE in the
+    token stream) — pure JVM shifted-array zip, no UDF, no positions."""
+    from ..functions.textsearch import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "stream column", content_col="text")
+
+
+SQL_PHRASE_MATCH = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE len(list_filter(range(1, len(ts)), i -> ts[i] = 'stream' AND ts[i+1] = 'column')) > 0
+"""
+
+
+def q_idx_phrase_match(spark, sf_dir):
+    """Index-accelerated phrase search, the standard positions-free design:
+    the inverted index ANDs the phrase terms (candidates ≪ corpus), then
+    the docs store joins candidates and a JVM expression verifies
+    consecutiveness — exactly how engines without positional postings serve
+    phrases."""
+    from ..engine import SearchEngine
+    from ..functions.textsearch import phrase_col
+    from ..oracle import Query
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    cands = eng.search(Query.make(require=["stream", "column"], k=1_000_000))
+    fetched = eng.fetch_docs(list(cands.doc_ids))
+    return fetched.filter(phrase_col("content", ["stream", "column"])).select("doc_id")
+
+
+SQL_IDX_PHRASE_MATCH = SQL_PHRASE_MATCH
+
+
+def q_regex_search(spark, sf_dir):
+    """Regex over content with required-literal substring prefiltering
+    (trigram-index idea, Cox 2012, evaluated scan-side): the cheap
+    contains() conjunction runs before the rlike in one codegen stage."""
+    from ..functions.textsearch import regex_search
+
+    return regex_search(_docs(spark, sf_dir), "merge[a-z ]{0,20}vector", content_col="text")
+
+
+SQL_REGEX_SEARCH = """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge[a-z ]{0,20}vector')
+"""
+
+
 # ---------- training-pipeline ops: clustering / chunking / splitting ----------
 
 def q_dedup_cc_clusters(spark, sf_dir):
@@ -1268,4 +1321,7 @@ QUERIES = {
     "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
     "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
+    "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
 }

@@ -1,0 +1,75 @@
+"""Phrase + regex search (functions/textsearch.py): consecutiveness
+semantics, case folding, the two-stage index-accelerated phrase path, and
+soundness of required-literal extraction (substrings, not tokens)."""
+
+import pytest
+
+from edgesearch_spark.functions.textsearch import (
+    phrase_search,
+    regex_search,
+    required_literals,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "import spark sql functions"),
+        (1, "the spark sql import"),
+        (2, "spark import sql"),          # terms present, not consecutive
+        (3, "sparkly sql stuff"),          # substring, not token
+        (4, "IMPORT Spark SQL yes"),       # case-folds for phrase
+        (5, None),
+        (6, "spark"),
+        (7, "merged vector data"),         # 'merge' substring inside 'merged'
+        (8, "merge the vector now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_phrase_consecutive_only(docs):
+    got = sorted(r["doc_id"] for r in phrase_search(docs, "spark sql").collect())
+    assert got == [0, 1, 4]
+    assert sorted(r["doc_id"] for r in phrase_search(docs, "spark").collect()) == [0, 1, 2, 4, 6]
+    assert phrase_search(docs, "sql functions nothere").count() == 0
+    # 3-term phrase
+    got3 = sorted(r["doc_id"] for r in phrase_search(docs, "import spark sql").collect())
+    assert got3 == [0, 4]
+
+
+def test_regex_literal_prefilter_is_sound(docs):
+    """'merge' is a required SUBSTRING — doc 7 ('merged vector') must match
+    even though it has no 'merge' TOKEN (a token prefilter would drop it)."""
+    got = sorted(r["doc_id"] for r in regex_search(docs, r"merge[a-z ]{0,20}vector").collect())
+    assert got == [7, 8]
+
+
+def test_required_literals_extraction():
+    assert required_literals(r"def\s+main\w*") == ["main", "def"]
+    assert required_literals(r"(foo|bar)baz") == ["baz"]
+    assert required_literals(r"foo|bar") == []           # top-level alternation
+    assert required_literals(r"colou?r") == ["col"]      # optional char drops
+    assert required_literals(r"CamelCase123") == ["CamelCase123"]  # case kept
+    assert required_literals(r"ab[0-9]+cdef") == ["cdef"]  # 'ab' under min_len
+
+
+def test_index_accelerated_phrase_two_stage(spark, docs, tmp_path_factory):
+    """AND-candidates from the real index + JVM verify == direct scan."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import phrase_col
+    from edgesearch_spark.oracle import Query
+
+    out = str(tmp_path_factory.mktemp("phraseidx"))
+    build_index(spark, docs.fillna({"content": ""}), out,
+                IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    cands = eng.search(Query.make(require=["spark", "sql"], k=100))
+    assert sorted(cands.doc_ids) == [0, 1, 2, 4]  # superset: not yet consecutive
+    verified = sorted(
+        r["doc_id"]
+        for r in eng.fetch_docs(list(cands.doc_ids))
+        .filter(phrase_col("content", ["spark", "sql"])).collect()
+    )
+    assert verified == sorted(r["doc_id"] for r in phrase_search(docs, "spark sql").collect())
