@@ -174,6 +174,15 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, sf_dir).count()
         queries[name] = round(time.monotonic() - t0, 3)
+    # production xxhash64 minhash family (same recall, no crypto — the
+    # non-oracled twin of dedup_minhash_lsh)
+    from edgesearch_spark.operators.dedup import minhash_lsh_candidates
+
+    docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.monotonic()
+    minhash_lsh_candidates(docs_sf, "doc_id", "text", n=3, num_hashes=32,
+                           band_size=4, family="xx").count()
+    queries["dedup_minhash_lsh_xx"] = round(time.monotonic() - t0, 3)
 
     print(
         json.dumps(

@@ -80,7 +80,8 @@ def shingle_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32,
+    family: str = "md5",
 ) -> DataFrame:
     """(doc_id, seed, minhash): MinHash over shingle sets via a seeded md5
     family, TWO independent 56-bit hashes per digest (disjoint hex windows),
@@ -90,6 +91,17 @@ def minhash_signatures(
     banded-LSH precision — 182 candidate pairs vs 25 on the contract corpus.)
     Portable: DuckDB parses the same hex windows with CAST('0x'||… AS BIGINT),
     so every signature matches bit-for-bit."""
+    if family == "xx":
+        # production family: one JVM xxhash64 per (shingle, seed) — no
+        # crypto, ~an order of magnitude cheaper than md5, NOT DuckDB-
+        # portable (the md5 family remains the oracled default; the xx
+        # family is pytest-validated for recall against the exact pairs)
+        sh = _shingles(df, id_col, text_col, n)
+        seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+        hashed = sh.select("doc_id", "shingle", seeds).withColumn(
+            "h", F.xxhash64("seed", "shingle")
+        )
+        return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
     if num_hashes % 2:
         raise ValueError("num_hashes must be even")
     sh = _shingles(df, id_col, text_col, n)
@@ -121,18 +133,23 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     band_size: int = 4,
+    family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded MinHash LSH.
 
     bands = num_hashes / band_size; docs collide if any band's signature
     slice matches exactly. Candidates come from a self-equi-join on
     (band, band_hash) — the bucket key — so cost scales with bucket sizes,
-    not doc pairs."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    not doc pairs. family='md5' (default) is bit-for-bit DuckDB-portable
+    (the contract oracle); family='xx' swaps in JVM xxhash64 end to end —
+    the production choice when no cross-engine parity is needed."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, family=family)
+    band_agg = F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
+    band_hash = F.xxhash64(band_agg) if family == "xx" else F.md5(band_agg)
     banded = (
         sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash"))
+        .agg(band_hash.alias("band_hash"))
     )
     a = banded.alias("a")
     b = banded.alias("b")

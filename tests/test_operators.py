@@ -34,6 +34,13 @@ def test_minhash_lsh_recall(spark, docs):
     assert true_pairs, "fixture should contain planted near-dups"
     missed = true_pairs - cands
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # production xxhash64 family: same recall guarantee, no crypto hashing
+    xx = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", n=3, num_hashes=32,
+                                        band_size=4, family="xx").collect()
+    }
+    assert not (true_pairs - xx), f"xx-family LSH missed pairs: {true_pairs - xx}"
 
 
 def test_simhash_near_dups_close(spark, docs):
