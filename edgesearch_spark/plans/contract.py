@@ -1026,6 +1026,48 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+DELETED_IDS = list(range(0, 120, 7))  # deterministic tombstone set
+
+
+def q_idx_deletes(spark, sf_dir):
+    """Tombstone deletes under the oracle gate: a TWO-SEGMENT incremental
+    index over the documents table (ingest in two halves, docIDs preserved
+    by ordering), a fixed delete set, then require=['table'] through the
+    MultiSegmentEngine — results must equal the relational answer minus the
+    tombstones (Lucene live-docs semantics; streaming/incremental.py)."""
+    import hashlib
+    import os
+    import shutil
+
+    from .. import __version__
+    from ..oracle import Query
+    from ..streaming.incremental import IncrementalIndexer
+
+    root = os.path.join(
+        "/tmp",
+        "edgesearch_del_" + hashlib.md5(f"{sf_dir}:{__version__}".encode()).hexdigest()[:10],
+    )
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    if not os.path.exists(os.path.join(root, "segments.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        idx = IncrementalIndexer(spark, root, order_cols=("doc_id",), content_col="content")
+        n = docs.count()
+        idx.ingest_batch(docs.filter(F.col("doc_id") < n // 2), 0)
+        idx.ingest_batch(docs.filter(F.col("doc_id") >= n // 2), 1)
+        idx.delete_docs(DELETED_IDS)
+    idx = IncrementalIndexer(spark, root, order_cols=("doc_id",), content_col="content")
+    eng = idx.engine()
+    r = eng.search(Query.make(require=["table"], k=1_000_000))
+    return spark.createDataFrame([(int(d),) for d in r.doc_ids] or [], "doc_id long")
+
+
+SQL_IDX_DELETES = f"""
+WITH {_PAIRS_CTE}
+SELECT doc_id FROM pairs WHERE term = 'table'
+  AND doc_id NOT IN ({", ".join(str(d) for d in DELETED_IDS)})
+"""
+
+
 # ---------- phrase / regex search (functions/textsearch.py) ----------
 
 def q_phrase_match(spark, sf_dir):
@@ -1323,5 +1365,6 @@ QUERIES = {
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
+    "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
     "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
 }
