@@ -666,6 +666,27 @@ class SearchEngine:
         page, cont = self._paginate(docs, q.continuation, q.k)
         return SearchResult(int(docs.size), cont, page.tolist())
 
+    def search_df(self, q: Query) -> DataFrame:
+        """The boolean result SET as a DataFrame of ``doc_id`` — the fully
+        distributed surface for downstream joins (phrase/regex verify,
+        batch analytics): no pagination, no ordering, and no driver
+        materialization at any candidate cardinality. Membership is
+        identical to paging search() to exhaustion (same reference rules:
+        missing REQUIRE → empty, missing contain/exclude dropped,
+        exclude-only quirk, no clauses → every live doc)."""
+        tp = self._fetch_query_terms(q)
+        if any(tp[t] is None for t in q.require):
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        contain = [t for t in q.contain if tp[t] is not None]
+        exclude = [t for t in q.exclude if tp[t] is not None]
+        if not q.require and not contain and not exclude:
+            return self._all_docs_df()
+        return self._matched_docs_df(q, tp, scored=False).select("doc_id")
+
+    def _all_docs_df(self) -> DataFrame:
+        """Every live docID — the default-results set, distributed."""
+        return self.spark.range(self.n_docs).select(F.col("id").cast("long").alias("doc_id"))
+
     def _score_docs(self, scoring: list, cands: np.ndarray) -> np.ndarray:
         """Exact BM25 over given docs, summing terms in caller order — the
         single scoring code path, so kernel / WAND / distributed-rescore
@@ -985,3 +1006,10 @@ class SearchEngine:
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         ids_df = self.spark.createDataFrame([(int(d),) for d in doc_ids] or [(None,)], "doc_id long")
         return self._docs_df.join(F.broadcast(ids_df.filter(F.col("doc_id").isNotNull())), "doc_id")
+
+    def fetch_docs_df(self, ids_df: DataFrame) -> DataFrame:
+        """Join a docID DataFrame (e.g. search_df output) to the docs store
+        — the cluster-side twin of fetch_docs: candidates never visit the
+        driver, and AQE picks broadcast vs shuffle join by the ids side's
+        runtime size."""
+        return self._docs_df.join(ids_df.select("doc_id"), "doc_id")

@@ -72,12 +72,9 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     in_class = False
     i, n = 0, len(pattern)
 
-    def flush(next_ch: str | None):
+    def flush():
         nonlocal run
         if run:
-            # a trailing char followed by ? * { is optional — drop just it
-            if next_ch in ("?", "*", "{") and run:
-                run.pop()
             out.extend(t for t in _WORD.findall("".join(run)) if len(t) >= min_len)
         run = []
 
@@ -90,16 +87,16 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
             i += 1
             continue
         if ch == "\\":
-            flush(None)
+            flush()
             i += 2
             continue
         if ch == "[":
-            flush(None)
+            flush()
             in_class = True
             i += 1
             continue
         if ch == "(":
-            flush(None)
+            flush()
             depth += 1
             i += 1
             continue
@@ -109,22 +106,24 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
             continue
         if ch == "|":
             # alternation makes EVERYTHING at this level non-required
-            flush(None)
+            flush()
             if depth == 0:
                 return []
             i += 1
             continue
         if depth == 0 and (ch.isalnum()):
             if nxt in ("?", "*", "{"):
-                flush(nxt)
+                # ch is optional (never appended to run); the run BEFORE it
+                # is still fully required — flush it intact and skip ch
+                flush()
                 i += 1
                 continue
             run.append(ch)
             i += 1
             continue
-        flush(None)
+        flush()
         i += 1
-    flush(None)
+    flush()
     # dedupe, longest-first (most selective prefilter literals first);
     # ORIGINAL case — these are case-sensitive required substrings
     seen: dict[str, None] = {}

