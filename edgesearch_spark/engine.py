@@ -369,6 +369,9 @@ class SearchEngine:
     # more than ~hot_route_df candidate docIDs. Class attribute so subclasses
     # that skip __init__ (MultiSegmentEngine) inherit the posture.
     hot_route_df: int = 5_000_000
+    # payload bytes the single-hot-term union-total probe may pull to the
+    # driver before it switches to the distributed distinct-count
+    union_probe_budget_bytes: int = 32 << 20
     last_route: str = "kernel"  # diagnostics: "kernel" | "distributed"
 
     def __init__(self, spark: SparkSession, index_dir: str, lazy_min_df: int | None = None,
@@ -849,9 +852,15 @@ class SearchEngine:
 
         The margin absorbs float-sum reordering in the distributed partial
         aggregation: Spark's sum order is partition-dependent, so two docs
-        within ~1 ulp of each other can swap in the cluster-side ordering;
-        taking 2·k_eff+16 candidates and re-ranking exactly restores the
-        kernel's exact order unless >k_eff+16 docs tie within float noise."""
+        within float noise of each other can swap in the cluster-side
+        ordering. The fetch VERIFIES its margin at runtime (ADVICE r3): it
+        is sufficient only if the exact k_eff-th score strictly beats the
+        last fetched row's cluster-side score plus a reordering bound eps —
+        every unfetched doc's cluster score is ≤ that row's, so its exact
+        score is < the kth and cannot enter the page. On failure the limit
+        widens ×4 and retries (terminates: the limit eventually covers the
+        whole matched set, which is exact by construction) — so results are
+        guaranteed identical to the kernel, not just overwhelmingly likely."""
         single = self._single_union_term(q, tp)
         matched = self._matched_docs_df(q, tp, scored=True).persist()
         try:
@@ -861,19 +870,30 @@ class SearchEngine:
                 total = matched.count() if exact_total else -1
             if total >= 0 and q.continuation >= total:
                 return SearchResult(total, None, [], [])
-            rows = (
-                matched.orderBy(F.col("score").desc(), F.col("doc_id"))
-                .limit(2 * k_eff + 16)
-                .collect()
-            )
+            tp_s = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
+            scoring = [p for p in tp_s.values() if p is not None]
+            limit = 2 * k_eff + 16
+            while True:
+                rows = (
+                    matched.orderBy(F.col("score").desc(), F.col("doc_id"))
+                    .limit(limit)
+                    .collect()
+                )
+                cands = np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64)
+                if cands.size == 0:
+                    return SearchResult(max(total, 0), None, [], [])
+                scores = self._score_docs(scoring, cands)
+                if len(rows) < limit:
+                    break  # the whole matched set is in hand — exact
+                cluster_last = float(rows[-1]["score"])
+                eps = 1e-9 * (abs(cluster_last) + 1.0) * max(len(scoring), 1)
+                if cands.size >= k_eff:
+                    kth = float(np.partition(scores, -k_eff)[-k_eff])
+                    if kth > cluster_last + eps:
+                        break  # no unfetched doc can reach (or tie) the page
+                limit *= 4
         finally:
             matched.unpersist()
-        cands = np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64)
-        if cands.size == 0:
-            return SearchResult(max(total, 0), None, [], [])
-        tp_s = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
-        scoring = [p for p in tp_s.values() if p is not None]
-        scores = self._score_docs(scoring, cands)
         if q.continuation >= cands.size:
             return SearchResult(total, None, [], [])
         order = np.lexsort((cands, -scores))
@@ -908,7 +928,28 @@ class SearchEngine:
             h = hot[0]
             eager = [p for p in present if p is not h]
             rest = np.unique(np.concatenate([p.all_docs() for p in eager]))
-            return int(h.df) + int((h.lookup_tfs(rest) == 0).sum())
+            # shard-summary range algebra BEFORE any payload fetch: an eager
+            # doc outside every shard's [min,max] range is provably not in
+            # the hot list; only range-containing shards are probe
+            # candidates. Their pending payload bytes are known from the
+            # summaries — over budget, the probe would pull ~the whole df≈N
+            # list onto the driver (ADVICE r3 medium), so run the same
+            # distributed distinct-count the ≥2-hot case uses instead.
+            sidx = np.searchsorted(h._smax, rest, side="left")
+            ok = sidx < h.n_shards
+            ok[ok] &= rest[ok] >= h._smin[sidx[ok]]
+            outside = int((~ok).sum())
+            shards = np.unique(sidx[ok])
+            pending = np.array(
+                [s for s in shards if int(s) not in h._payload], dtype=np.int64
+            )
+            est_bytes = int(h._sbytes[pending].sum()) if pending.size else 0
+            if est_bytes <= self.union_probe_budget_bytes:
+                return int(h.df) + outside + int((h.lookup_tfs(rest[ok]) == 0).sum())
+            return int(
+                self._decoded_for([p.term for p in present])
+                .select("doc_id").distinct().count()
+            )
         ranges = [p.block_ranges() for p in present]
         decode_idx: list[np.ndarray] = []
         total = 0

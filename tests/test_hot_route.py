@@ -191,3 +191,47 @@ def test_union_total_with_hot_terms_exact(engines):
     assert w2.total == a2.total == N
     assert list(w2.doc_ids) == list(a2.doc_ids)
     assert list(w2.scores) == list(a2.scores)
+
+
+def test_union_total_single_hot_probe_budgeted(spark, index_dir):
+    """ADVICE r3 (medium): the 1-hot exact-total probe must not pull ~every
+    shard of a df≈N term onto the driver. Over the payload budget it runs
+    the same distributed distinct-count as the ≥2-hot case — identical
+    total, bounded bytes_fetched."""
+    free = SearchEngine(spark, index_dir, lazy_min_df=100, hot_route_df=10**9)
+    tight = SearchEngine(spark, index_dir, lazy_min_df=100, hot_route_df=10**9)
+    tight.union_probe_budget_bytes = 0  # any pending payload ⇒ distributed
+
+    q = Query.make(contain=["hot", "rare"], k=5)
+    a = free.search_bm25_wand(q, exact_total=True)
+    b = tight.search_bm25_wand(q, exact_total=True)
+    assert a.total == b.total == N
+    assert list(a.doc_ids) == list(b.doc_ids)
+    h = tight.fetch_terms(["hot"])["hot"]
+    assert isinstance(h, LazyTermPostings)
+    # the budgeted engine fetched only what the kernel page itself needed —
+    # far below the full list (the probe would have pulled ~everything)
+    assert h.bytes_fetched < h.total_payload_bytes / 2, (
+        h.bytes_fetched, h.total_payload_bytes)
+
+
+def test_bm25_distributed_margin_widens_on_ties(spark, tmp_path_factory):
+    """All-tied scores defeat the fetch margin (the kth exact score cannot
+    strictly beat the cluster cutoff), so the verified fetch must WIDEN
+    until it holds the complete matched set — and still return exactly the
+    kernel's page (ADVICE r3: no silent top-k cut within float noise)."""
+    out = str(tmp_path_factory.mktemp("tieidx"))
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(n)], "doc_id long, content string")
+    build_index(spark, docs, out, IndexConfig(block_size=16, salt_shift=7),
+                doc_id_col="doc_id", content_col="content")
+    kernel = SearchEngine(spark, out)
+    routed = SearchEngine(spark, out, lazy_min_df=10, hot_route_df=10)
+    q = Query.make(contain=["alpha", "beta"], k=2)
+    a = kernel.search_bm25(q)
+    b = routed.search_bm25(q)
+    assert routed.last_route == "distributed"
+    assert a.total == b.total == n
+    assert list(a.doc_ids) == list(b.doc_ids)  # tie-break by doc_id, exact
+    assert list(a.scores) == list(b.scores)
