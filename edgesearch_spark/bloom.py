@@ -12,9 +12,12 @@ This sidecar makes absent-term checks driver-local at any dictionary size:
   * terms are hash-partitioned into ranges of ~2^16 terms; each range gets
     one bloom filter row (12 bits/term, k=7 → ~0.4% false-positive rate);
   * the sidecar is O(n_terms · 12 bits) TOTAL but loaded per row — a driver
-    can hold all rows for dictionaries up to ~10^8 terms (~150 MB) and an
-    LRU of hot ranges beyond that (rows are independent; the probe needs
-    exactly one row per term);
+    holds all rows for dictionaries up to ``max_eager_rows`` ranges eagerly
+    and, beyond that, fetches rows per range on demand into a bounded LRU
+    (rows are independent; a probe needs exactly ONE row). The per-range
+    fetch is a driver-local pyarrow read with a range_id predicate — the
+    sidecar is written range_id-sorted so parquet row-group stats prune it
+    — and costs zero Spark jobs either way;
   * probe says "definitely absent" (skip the lookup job entirely — the
     overwhelmingly common case for typo/OOV terms) or "maybe present"
     (fall through to the normal term_stats pushdown scan). No false
@@ -100,31 +103,98 @@ def build_term_bloom(spark: SparkSession, term_stats: DataFrame, out_path: str,
         )
         .groupBy("rid")
         .applyInPandas(make_bloom, "range_id long, n_ranges long, bits binary")
+        # range_id-sorted files ⇒ parquet row-group min/max stats make the
+        # lazy per-range fetch a pruned point read, not a sidecar scan
+        .repartitionByRange(max(1, n_ranges // 512), "range_id")
+        .sortWithinPartitions("range_id")
         .write.mode("overwrite").parquet(out_path)
     )
     return n_ranges
 
 
 class TermBloom:
-    """Driver-side probe over one index's sidecar rows."""
+    """Driver-side probe over one index's sidecar rows.
 
-    def __init__(self, rows):
-        self.n_ranges = int(rows[0]["n_ranges"]) if rows else 1
-        self._bits = {int(r["range_id"]): np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
-                      for r in rows}
+    Eager mode (``loader=None``): all rows live in ``_bits``; a range with
+    no row holds no terms at all ⇒ definitely absent.
+
+    Lazy mode: ``loader(range_id) -> bytes | None`` fetches a row on first
+    probe of its range; ``max_cached_rows`` bounds the LRU (96 KiB/row), so
+    a 10^9-term dictionary (~15k ranges, 1.4 GB) costs the driver only the
+    hot ranges. ``rows_fetched`` counts loader calls (test-asserted: ≤1 per
+    novel range, 0 on re-probe of a cached range)."""
+
+    def __init__(self, rows, loader=None, n_ranges: int | None = None,
+                 max_cached_rows: int | None = None):
+        from collections import OrderedDict
+
+        rows = list(rows)
+        self.n_ranges = int(n_ranges if n_ranges is not None
+                            else (rows[0]["n_ranges"] if rows else 1))
+        self._bits: "OrderedDict[int, np.ndarray | None]" = OrderedDict(
+            (int(r["range_id"]), np.frombuffer(bytes(r["bits"]), dtype=np.uint8))
+            for r in rows
+        )
+        self._loader = loader
+        self._max = max_cached_rows
+        self.rows_fetched = 0
+
+    def _range_bits(self, rid: int) -> np.ndarray | None:
+        if rid in self._bits:
+            self._bits.move_to_end(rid)
+            return self._bits[rid]
+        if self._loader is None:
+            return None  # eager mode: no row ⇒ empty range
+        raw = self._loader(rid)
+        self.rows_fetched += 1
+        bits = None if raw is None else np.frombuffer(raw, dtype=np.uint8)
+        self._bits[rid] = bits  # negative result cached too
+        if self._max is not None:
+            while len(self._bits) > self._max:
+                self._bits.popitem(last=False)
+        return bits
 
     def definitely_absent(self, term: str) -> bool:
-        bits = self._bits.get(term_range_id(term, self.n_ranges))
+        bits = self._range_bits(term_range_id(term, self.n_ranges))
         if bits is None:
             return True  # no terms hashed to this range at all
         pos = _positions(term)
         return not bool(np.all(bits[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)))
 
 
-def load_term_bloom(spark: SparkSession, index_dir: str) -> TermBloom | None:
-    """One collect job (O(n_ranges) rows); None when the sidecar is absent
-    (pre-bloom index) — callers fall back to the term_stats scan."""
+def load_term_bloom(spark: SparkSession, index_dir: str,
+                    max_eager_rows: int = 4096,
+                    max_cached_rows: int = 1024) -> TermBloom | None:
+    """Open the sidecar with ZERO Spark jobs (driver-local pyarrow read —
+    the probe is a control-plane structure, same posture as the reference
+    worker reading its own chunk metadata). ≤ ``max_eager_rows`` ranges
+    (~384 MB of bits) load whole; bigger dictionaries get the per-range
+    lazy LRU. None when the sidecar is absent (pre-bloom index) — callers
+    fall back to the term_stats scan."""
+    import glob as _glob
+
+    import pyarrow.dataset as ds
+
     path = os.path.join(index_dir, "term_bloom")
     if not os.path.exists(path):
         return None
-    return TermBloom(spark.read.parquet(path).collect())
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    dset = ds.dataset(files, format="parquet")
+    n_rows = dset.count_rows()
+    if n_rows <= max_eager_rows:
+        tbl = dset.to_table()
+        rows = [{"range_id": rid, "n_ranges": nr, "bits": bits}
+                for rid, nr, bits in zip(tbl["range_id"].to_pylist(),
+                                         tbl["n_ranges"].to_pylist(),
+                                         tbl["bits"].to_pylist())]
+        return TermBloom(rows)
+    n_ranges = dset.head(1)["n_ranges"][0].as_py()
+
+    def loader(rid: int):
+        t = dset.to_table(filter=ds.field("range_id") == rid, columns=["bits"])
+        return t["bits"][0].as_py() if t.num_rows else None
+
+    return TermBloom([], loader=loader, n_ranges=int(n_ranges),
+                     max_cached_rows=max_cached_rows)

@@ -437,8 +437,10 @@ class SearchEngine:
 
     def _bloom_absent(self, term: str) -> bool:
         """True ⇒ the term is definitely not indexed (no false negatives).
-        Loads the sidecar rows once (one job per index dir); indexes built
-        before the sidecar existed fall back to the term_stats scan."""
+        Sidecar access is driver-local pyarrow (zero Spark jobs): small
+        dictionaries load whole, huge ones per-range into a bounded LRU;
+        indexes built before the sidecar existed fall back to the
+        term_stats scan."""
         if self._blooms is False:
             from .bloom import load_term_bloom
 

@@ -96,3 +96,44 @@ def test_results_identical_with_and_without_bloom(spark, index_dir):
 def test_empty_bloom_row_handling():
     tb = TermBloom([])
     assert tb.definitely_absent("anything")
+
+
+def test_lazy_lru_load_per_range(spark, index_dir, tmp_path_factory):
+    """VERDICT r3 item 5: beyond max_eager_rows the sidecar loads per range
+    on demand — ≤1 row fetched per NOVEL term range, re-probes of a cached
+    range fetch nothing, the LRU stays bounded, and lazy semantics equal
+    eager semantics for present and absent terms alike."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.bloom import build_term_bloom
+
+    # multi-range sidecar: force n_ranges=5 by declaring a big dictionary
+    out = str(tmp_path_factory.mktemp("bloomlazy")) + "/term_bloom"
+    term_stats = spark.read.parquet(f"{index_dir}/term_stats").select("term").distinct()
+    n_ranges = build_term_bloom(spark, term_stats, out, n_terms=5 * (1 << 16))
+    assert n_ranges == 5
+
+    idx_root = out[: -len("/term_bloom")]
+    eager = load_term_bloom(spark, idx_root, max_eager_rows=4096)
+    lazy = load_term_bloom(spark, idx_root, max_eager_rows=0, max_cached_rows=8)
+    assert lazy._loader is not None and eager._loader is None
+
+    terms = [r["term"] for r in term_stats.collect()]
+    probes = terms + [f"zz_nope_{i}" for i in range(10)]
+    for t in probes:
+        assert lazy.definitely_absent(t) == eager.definitely_absent(t), t
+    # every present term must be 'maybe present' in lazy mode too
+    assert not any(lazy.definitely_absent(t) for t in terms)
+    # cache (8) covers all 5 ranges ⇒ EXACTLY one fetch per novel range
+    touched = {term_range_id(t, 5) for t in probes}
+    assert lazy.rows_fetched == len(touched), (lazy.rows_fetched, len(touched))
+    # a cache-resident probe fetches nothing
+    before = lazy.rows_fetched
+    lazy.definitely_absent(terms[0])
+    assert lazy.rows_fetched == before
+
+    # a TIGHT cache stays bounded (evicts; may re-fetch) and stays correct
+    tight = load_term_bloom(spark, idx_root, max_eager_rows=0, max_cached_rows=1)
+    for t in probes:
+        assert tight.definitely_absent(t) == eager.definitely_absent(t), t
+        assert len(tight._bits) <= 1
