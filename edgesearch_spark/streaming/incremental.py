@@ -101,9 +101,20 @@ class IncrementalIndexer:
             .start()
         )
 
+    # tombstones at or below this count ride the driver (numpy mask per
+    # query — Lucene live-docs); above it engine() hands the engine a
+    # tombstone DataFrame instead and every query routes distributed, so an
+    # un-compacted index with millions of deletes never collects them
+    max_driver_tombstones: int = 1_000_000
+
     def engine(self) -> "MultiSegmentEngine":
-        return MultiSegmentEngine(self.spark, self.segment_dirs(),
-                                  tombstones=self.deleted_ids())
+        segs = self.segment_dirs()
+        if not os.path.exists(self._tombstone_dir):
+            return MultiSegmentEngine(self.spark, segs)
+        tomb = self.spark.read.parquet(self._tombstone_dir).distinct()
+        if tomb.count() <= self.max_driver_tombstones:
+            return MultiSegmentEngine(self.spark, segs, tombstones=self.deleted_ids())
+        return MultiSegmentEngine(self.spark, segs, tombstone_df=tomb)
 
     # ---- deletes: Lucene-style tombstones ----
     # A delete is VISIBILITY filtering, not statistical removal: results
@@ -139,11 +150,12 @@ class IncrementalIndexer:
         and therefore default-results order — is preserved)."""
         segs = self.segment_dirs()
         docs = self.spark.read.parquet(*[f"{s}/docs" for s in segs])
-        deleted = self.deleted_ids()
-        if deleted:
-            tomb = self.spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+        if os.path.exists(self._tombstone_dir):
+            # tombstones never visit the driver here either: anti-join the
+            # parquet set directly (AQE broadcasts it when small)
+            tomb = self.spark.read.parquet(self._tombstone_dir).distinct()
             docs = (
-                docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+                docs.join(tomb, "doc_id", "left_anti")
                 .withColumnRenamed("doc_id", "__old_id")
             )
             build_index(
@@ -167,14 +179,28 @@ class MultiSegmentEngine(SearchEngine):
     docs; scoring statistics (df, avgdl, norms) still include them until
     ``compact()`` — the exact tradeoff Lucene makes between deletes and
     merges. The tombstone set is bounded between compactions, so the
-    driver-side filter is O(|tombstones| log) per query."""
+    driver-side filter is O(|tombstones| log) per query.
+
+    ``tombstone_df`` is the over-budget posture (IncrementalIndexer.
+    max_driver_tombstones): deletes stay a DataFrame, are NEVER collected,
+    and every clause-ful query routes through the distributed plan, which
+    anti-joins them; default pages run as a range anti-join. Same results,
+    driver memory independent of the delete count."""
 
     def __init__(self, spark: SparkSession, segment_dirs: list[str],
-                 tombstones: list[int] | None = None):
+                 tombstones: list[int] | None = None,
+                 tombstone_df: DataFrame | None = None):
         if not segment_dirs:
             raise ValueError("no segments")
         import numpy as np
 
+        if tombstones and tombstone_df is not None:
+            raise ValueError("pass tombstones (driver) OR tombstone_df (distributed)")
+        # distributed-tombstone mode: deletes stay a DataFrame (never
+        # collected); every query routes through the distributed plan,
+        # which anti-joins them — the over-budget posture
+        self._tomb_df = (tombstone_df.select(F.col("doc_id").cast("long"))
+                         if tombstone_df is not None else None)
         self._deleted = np.asarray(sorted(tombstones or []), dtype=np.int64)
         self.spark = spark
         self.index_dir = segment_dirs[0]  # for doclens property base; overridden below
@@ -239,6 +265,18 @@ class MultiSegmentEngine(SearchEngine):
         hit[hit] = self._deleted[pos[hit]] == docs[hit]
         return ~hit
 
+    def _route_distributed(self, q, tp, for_wand: bool = False) -> bool:
+        # distributed tombstones: the driver kernel cannot see the delete
+        # set at all, so every clause-ful query runs the Spark plan (which
+        # anti-joins the tombstone DataFrame). Queries whose existing
+        # clauses are empty still fall through to the default-results path
+        # (reference rule: missing contain/exclude are dropped).
+        if self._tomb_df is not None:
+            contain = [t for t in q.contain if tp.get(t) is not None]
+            exclude = [t for t in q.exclude if tp.get(t) is not None]
+            return bool(q.require or contain or exclude)
+        return super()._route_distributed(q, tp, for_wand=for_wand)
+
     def _bool_kernel(self, q, tp):
         res = super()._bool_kernel(q, tp)
         if res is None or not self._deleted.size or res.size == 0:
@@ -246,6 +284,20 @@ class MultiSegmentEngine(SearchEngine):
         return res[self._not_deleted_mask(res)]
 
     def _default_results(self, q):
+        if self._tomb_df is not None:
+            from ..oracle import SearchResult
+
+            live = self.spark.range(self.n_docs).select(
+                F.col("id").alias("doc_id")
+            ).join(self._tomb_df, "doc_id", "left_anti")
+            total = live.count()
+            if q.continuation >= total:
+                return SearchResult(total, None, [], [])
+            rows = live.orderBy("doc_id").limit(q.continuation + q.k).collect()
+            page = [int(r["doc_id"]) for r in rows][q.continuation :]
+            after = q.continuation + len(page)
+            return SearchResult(total, after if total > after else None,
+                                page, [0.0] * len(page))
         if not self._deleted.size:
             return super()._default_results(q)
         import numpy as np
@@ -273,37 +325,47 @@ class MultiSegmentEngine(SearchEngine):
 
     def _single_union_term(self, q, tp):
         # the leading-shard shortcut would include deleted docs — disable it
-        return None if self._deleted.size else super()._single_union_term(q, tp)
+        if self._deleted.size or self._tomb_df is not None:
+            return None
+        return super()._single_union_term(q, tp)
+
+    @property
+    def _has_deletes(self) -> bool:
+        return bool(self._deleted.size) or self._tomb_df is not None
+
+    def _tombstones_df(self):
+        if self._tomb_df is not None:
+            return self._tomb_df  # distributed mode: never broadcast-hinted
+        # small driver set: broadcast the anti-join side
+        return F.broadcast(self.spark.createDataFrame(
+            [(int(d),) for d in self._deleted], "doc_id long"))
 
     def _matched_docs_df(self, q, tp, scored: bool):
         out = super()._matched_docs_df(q, tp, scored)
-        if not self._deleted.size:
+        if not self._has_deletes:
             return out
-        tomb = self.spark.createDataFrame(
-            [(int(d),) for d in self._deleted], "doc_id long")
-        return out.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
     def fetch_docs(self, doc_ids):
         if self._deleted.size:
             dead = set(self._deleted.tolist())
             doc_ids = [d for d in doc_ids if int(d) not in dead]
-        return super().fetch_docs(doc_ids)
-
-    def _tombstones_df(self):
-        return self.spark.createDataFrame(
-            [(int(d),) for d in self._deleted], "doc_id long")
+        out = super().fetch_docs(doc_ids)
+        if self._tomb_df is not None:
+            out = out.join(self._tomb_df, "doc_id", "left_anti")
+        return out
 
     def _all_docs_df(self):
         out = super()._all_docs_df()
-        if not self._deleted.size:
+        if not self._has_deletes:
             return out
-        return out.join(F.broadcast(self._tombstones_df()), "doc_id", "left_anti")
+        return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
     def fetch_docs_df(self, ids_df):
         out = super().fetch_docs_df(ids_df)
-        if not self._deleted.size:
+        if not self._has_deletes:
             return out
-        return out.join(F.broadcast(self._tombstones_df()), "doc_id", "left_anti")
+        return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
     def search_bm25_wand(self, q, exact_total: bool = True):
         """Pruned kernel is only rank-safe when block-max weights were baked
@@ -317,6 +379,6 @@ class MultiSegmentEngine(SearchEngine):
         contain-only seeding don't know about live-docs, while the
         exhaustive path filters through _bool_kernel."""
         fresh = all(abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
-        if not fresh or self._deleted.size:
+        if not fresh or self._has_deletes:
             return self.search_bm25(q)
         return super().search_bm25_wand(q, exact_total=exact_total)

@@ -122,3 +122,40 @@ def test_compact_purges_and_reassigns_dense_ids(spark, indexed, tmp_path_factory
     # queries work and exclude nothing (no tombstones anymore)
     r = fresh.search(Query.make(contain=["target"], k=500))
     assert r.total == eng.search(Query.make(contain=["target"], k=500)).total
+
+
+def test_tombstone_budget_routes_distributed(spark, indexed):
+    """VERDICT r3 item 6: above max_driver_tombstones the engine NEVER
+    collects the tombstone list (tombstone_df mode, _deleted empty); every
+    clause-ful query routes distributed and results are identical to the
+    driver-tombstone engine — default pages included."""
+    indexed.delete_docs(list(range(60, 160)))  # > 100 tombstones now
+    n_tomb = spark.read.parquet(indexed._tombstone_dir).distinct().count()
+    assert n_tomb >= 100
+
+    driver_eng = indexed.engine()  # default budget: driver live-docs mode
+    assert driver_eng._tomb_df is None and driver_eng._deleted.size == n_tomb
+
+    indexed.max_driver_tombstones = 10  # instance override, class untouched
+    try:
+        dist = indexed.engine()
+    finally:
+        del indexed.max_driver_tombstones
+    assert dist._tomb_df is not None and dist._deleted.size == 0
+
+    queries = [
+        Query.make(contain=["target"], k=500),
+        Query.make(require=["common1"], exclude=["target"], k=500),
+        Query.make(contain=["common0", "common1"], k=20),
+        Query.make(k=10, continuation=55),        # default page
+        Query.make(contain=["nosuchterm"], k=10),  # dropped ⇒ default page
+    ]
+    for q in queries:
+        a, b = driver_eng.search(q), dist.search(q)
+        assert (a.total, a.continuation, a.doc_ids) == (b.total, b.continuation, b.doc_ids), q
+    for q in queries[:3]:
+        a, b = driver_eng.search_bm25(q), dist.search_bm25(q)
+        assert (a.total, list(a.doc_ids), list(a.scores)) == (b.total, list(b.doc_ids), list(b.scores)), q
+        assert dist.last_route == "distributed"
+        w = dist.search_bm25_wand(q)  # delegates under deletes, still exact
+        assert (w.total, list(w.doc_ids), list(w.scores)) == (b.total, list(b.doc_ids), list(b.scores)), q
