@@ -121,68 +121,92 @@ def main() -> None:
     docs_per_sec = n_corpus / build_sec
     queries["index_build"] = round(build_sec, 3)
 
-    # ---- query batch through the kernel (reference semantics + BM25) ----
-    eng = SearchEngine(spark, out).warm()  # serving posture: postings cached + norms loaded
-    lat: list[float] = []
-    for name, q in QUERY_BATCH:
-        t0 = time.monotonic()
-        eng.search(q)
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 4)
-        lat.append(dt)
-    for name, q in BM25_BATCH:
-        t0 = time.monotonic()
-        eng.search_bm25(q)
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 4)
-        lat.append(dt)
-    for name, q, exact in WAND_BATCH:
-        t0 = time.monotonic()
-        eng.search_bm25_wand(q, exact_total=exact)
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 4)
-        lat.append(dt)
-    query_p50 = statistics.median(lat)
-    query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
-
-    # ---- df≈N hot-term paths (thresholds scaled so 'the' goes hot) ----
+    # ---- query batches: INTERLEAVED multi-trial protocol (VERDICT r3 #2) ----
+    # Every query runs BENCH_QUERY_TRIALS times in round-robin inside one
+    # window (trial loop OUTSIDE the query loop), so a co-tenant load spike
+    # hits all queries evenly instead of whichever single trial it landed
+    # on. Reported value = per-query MEDIAN; min/max spread goes to detail.
+    # Kernel engines clear their per-term caches between trials so every
+    # trial pays the same postings-fetch cost the single-trial protocol
+    # measured (Spark-side file caches stay warm — steady-state serving).
     import resource
 
+    n_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
+    samples: dict[str, list[float]] = {}
+
+    def record(name: str, dt: float) -> None:
+        samples.setdefault(name, []).append(dt)
+
+    eng = SearchEngine(spark, out).warm()  # serving posture: postings cached + norms loaded
     hot_df = max(1000, n_corpus // 20)
     eng_hot = SearchEngine(spark, out, lazy_min_df=hot_df, hot_route_df=hot_df)
     eng_kernel = SearchEngine(spark, out, lazy_min_df=hot_df, hot_route_df=10**12)
-    for name, mode, q in HOT_BATCH:
-        e = eng_kernel if mode == "wand_fast" else eng_hot
-        e._term_dfs(list(q.require) + list(q.contain) + list(q.exclude))  # dict resolve untimed
-        t0 = time.monotonic()
-        if mode == "search":
-            e.search(q)
-        elif mode == "bm25":
-            e.search_bm25(q)
-        elif mode == "wand":
-            e.search_bm25_wand(q)
-        else:
-            e.search_bm25_wand(q, exact_total=False)
-        queries[name] = round(time.monotonic() - t0, 4)
+
+    for _trial in range(max(1, n_trials)):
+        eng._cache.clear()
+        for name, q in QUERY_BATCH:
+            t0 = time.monotonic()
+            eng.search(q)
+            record(name, time.monotonic() - t0)
+        for name, q in BM25_BATCH:
+            t0 = time.monotonic()
+            eng.search_bm25(q)
+            record(name, time.monotonic() - t0)
+        for name, q, exact in WAND_BATCH:
+            t0 = time.monotonic()
+            eng.search_bm25_wand(q, exact_total=exact)
+            record(name, time.monotonic() - t0)
+        # df≈N hot-term paths (thresholds scaled so 'the' goes hot)
+        eng_hot._cache.clear()
+        eng_kernel._cache.clear()
+        for name, mode, q in HOT_BATCH:
+            e = eng_kernel if mode == "wand_fast" else eng_hot
+            e._term_dfs(list(q.require) + list(q.contain) + list(q.exclude))  # dict resolve untimed
+            t0 = time.monotonic()
+            if mode == "search":
+                e.search(q)
+            elif mode == "bm25":
+                e.search_bm25(q)
+            elif mode == "wand":
+                e.search_bm25_wand(q)
+            else:
+                e.search_bm25_wand(q, exact_total=False)
+            record(name, time.monotonic() - t0)
     driver_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
-    # ---- representative contract queries at the sf dir ----
-    from edgesearch_spark.plans.contract import QUERIES
-
-    for name in ("bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1", "dedup_minhash_lsh"):
-        fn = QUERIES[name][0]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.monotonic() - t0, 3)
-    # production xxhash64 minhash family (same recall, no crypto — the
-    # non-oracled twin of dedup_minhash_lsh)
+    # ---- representative contract queries at the sf dir (same protocol) ----
+    from edgesearch_spark.plans.contract import QUERIES, _index_for
     from edgesearch_spark.operators.dedup import minhash_lsh_candidates
 
+    _index_for(spark, sf_dir)  # idx-entry index build/cache is NOT timed
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.monotonic()
-    minhash_lsh_candidates(docs_sf, "doc_id", "text", n=3, num_hashes=32,
-                           band_size=4, family="xx").count()
-    queries["dedup_minhash_lsh_xx"] = round(time.monotonic() - t0, 3)
+    contract_names = (
+        "bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1",
+        "dedup_minhash_lsh", "phrase_match", "idx_phrase_match",
+        "regex_search", "idx_regex_search",
+    )
+    for _trial in range(max(1, n_trials)):
+        for name in contract_names:
+            fn = QUERIES[name][0]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            record(name, time.monotonic() - t0)
+        # production xxhash64 minhash family (same recall, no crypto — the
+        # non-oracled twin of dedup_minhash_lsh)
+        t0 = time.monotonic()
+        minhash_lsh_candidates(docs_sf, "doc_id", "text", n=3, num_hashes=32,
+                               band_size=4, family="xx").count()
+        record("dedup_minhash_lsh_xx", time.monotonic() - t0)
+
+    spread: dict[str, list[float]] = {}
+    for name, vals in samples.items():
+        queries[name] = round(statistics.median(vals), 4)
+        spread[name] = [round(min(vals), 4), round(max(vals), 4)]
+    kernel_names = [n for n, _q in QUERY_BATCH] + [n for n, _q in BM25_BATCH] + [
+        n for n, _q, _e in WAND_BATCH]
+    lat = [queries[n] for n in kernel_names]
+    query_p50 = statistics.median(lat)
+    query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
 
     print(
         json.dumps(
@@ -198,6 +222,8 @@ def main() -> None:
                     "build_sec": round(build_sec, 2),
                     "query_p50_sec": round(query_p50, 4),
                     "query_p95_sec": round(query_p95, 4),
+                    "query_trials": n_trials,
+                    "query_spread": spread,
                     "driver_maxrss_mb": driver_rss_mb,
                     **_postings_stats(out),
                 },

@@ -21,4 +21,4 @@ Layout:
   functions/     — text analysis (langid, quality, token stats, fingerprint)
 """
 
-__version__ = "0.2.1"  # 0.2.1: absent-term bloom sidecar; 0.2: adaptive posting containers
+__version__ = "0.3.0"  # 0.3: per-block max_tf (segment-invariant WAND bounds); 0.2.1: bloom sidecar; 0.2: adaptive containers

@@ -45,6 +45,7 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("block_offset", pa.list_(pa.int64())),
         ("block_max_weight", pa.list_(pa.float32())),
         ("block_kind", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
         ("payload", pa.binary()),
     ]
 )
@@ -200,6 +201,7 @@ def _emit_arrays(term_heads: pa.Array, docs_list, tfs_list, ws_list,
             list_arr([pb.offsets for pb in pbs], np.int64),
             list_arr([pb.max_weight for pb in pbs], np.float32),
             list_arr([pb.kinds for pb in pbs], np.int32),
+            list_arr([pb.max_tf for pb in pbs], np.int32),
             pa.array([pb.payload for pb in pbs], type=pa.binary()),
         ],
         schema=POSTINGS_ARROW_SCHEMA,

@@ -53,7 +53,7 @@ POSTINGS_SCHEMA = (
     "term string, salt long, df long, cf long, "
     "block_first_doc array<long>, block_max_doc array<long>, block_count array<int>, "
     "block_offset array<long>, block_max_weight array<float>, block_kind array<int>, "
-    "payload binary"
+    "block_max_tf array<int>, payload binary"
 )
 
 
@@ -153,6 +153,7 @@ def make_encoder(block_size: int):
                     "block_offset": [pb.offsets for pb in pbs],
                     "block_max_weight": [pb.max_weight for pb in pbs],
                     "block_kind": [pb.kinds.astype(np.int32) for pb in pbs],
+                    "block_max_tf": [pb.max_tf for pb in pbs],
                     "payload": [pb.payload for pb in pbs],
                 }
             )
@@ -188,6 +189,7 @@ def make_stream_encoder(block_size: int, salt_shift: int = 16):
                 "block_offset": [pb.offsets for pb in pbs],
                 "block_max_weight": [pb.max_weight for pb in pbs],
                 "block_kind": [pb.kinds.astype(np.int32) for pb in pbs],
+                "block_max_tf": [pb.max_tf for pb in pbs],
                 "payload": [pb.payload for pb in pbs],
             }
         )

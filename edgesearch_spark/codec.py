@@ -115,6 +115,12 @@ class PostingBlocks:
     max_weight: np.ndarray  # float32[n_blocks] — max tf-weight per block (block-max)
     kinds: np.ndarray  # uint8[n_blocks] — container kind byte (see module header)
     payload: bytes
+    # int32[n_blocks] — max raw tf per block. Unlike max_weight (baked under
+    # the BUILD-time avgdl), max_tf is avgdl-free, so a multi-segment engine
+    # can derive a valid block upper bound under the LIVE global avgdl:
+    # w = tf/(tf + k1(1-b+b·dl/avgdl)) ≤ max_tf/(max_tf + k1(1-b)).
+    # None when read from a pre-max_tf index (engines then fall back).
+    max_tf: np.ndarray | None = None
 
     @property
     def n_blocks(self) -> int:
@@ -134,6 +140,7 @@ def _empty_blocks() -> PostingBlocks:
         max_weight=np.empty(0, np.float32),
         kinds=np.empty(0, np.uint8),
         payload=b"",
+        max_tf=np.empty(0, np.int32),
     )
 
 
@@ -333,6 +340,7 @@ def encode_postings_batch(
                 max_weight=max_w[b0:b1].astype(np.float32),
                 kinds=kinds[b0:b1].copy(),
                 payload=bytes(payload_mv[base : blk_end_g[b1 - 1]]),
+                max_tf=tf_hi[b0:b1].astype(np.int32),
             )
         )
         nz_iter += 1
@@ -505,4 +513,6 @@ def concat_blocks(parts: list[PostingBlocks]) -> PostingBlocks:
         max_weight=np.concatenate([p.max_weight for p in parts]),
         kinds=np.concatenate([p.kinds for p in parts]),
         payload=b"".join(p.payload for p in parts),
+        max_tf=(np.concatenate([p.max_tf for p in parts])
+                if all(p.max_tf is not None for p in parts) else None),
     )

@@ -42,6 +42,9 @@ from .oracle import Query, QueryTooLarge, SearchResult
 
 
 def _row_to_blocks(row) -> PostingBlocks:
+    mtf = (row["block_max_tf"]
+           if "block_max_tf" in row.__fields__ and row["block_max_tf"] is not None
+           else None)
     return PostingBlocks(
         first_doc=np.array(row["block_first_doc"], dtype=np.int64),
         max_doc=np.array(row["block_max_doc"], dtype=np.int64),
@@ -50,6 +53,7 @@ def _row_to_blocks(row) -> PostingBlocks:
         max_weight=np.array(row["block_max_weight"], dtype=np.float32),
         kinds=np.array(row["block_kind"], dtype=np.uint8),
         payload=bytes(row["payload"]),
+        max_tf=np.array(mtf, dtype=np.int32) if mtf is not None else None,
     )
 
 
@@ -177,7 +181,16 @@ class LazyTermPostings:
         self._salts = [int(r["salt"]) for r in shards]
         self._smin = np.array([r["min_doc"] for r in shards], dtype=np.int64)
         self._smax = np.array([r["max_doc"] for r in shards], dtype=np.int64)
-        self._smw = np.array([r["max_weight"] for r in shards], dtype=np.float64)
+        if engine._tf_bounds:
+            # stored weights are stale; shard bound from avgdl-free max_tf
+            self._smw = np.concatenate([
+                engine._bound_arr(
+                    None if "max_tf" not in r.__fields__ or r["max_tf"] is None
+                    else [r["max_tf"]], 1)
+                for r in shards
+            ]) if shards else np.empty(0, np.float64)
+        else:
+            self._smw = np.array([r["max_weight"] for r in shards], dtype=np.float64)
         self._sdf = np.array([r["df"] for r in shards], dtype=np.int64)
         self._sbytes = np.array([r["payload_bytes"] for r in shards], dtype=np.int64)
         self._snblocks = np.array([r["n_blocks"] for r in shards], dtype=np.int64)
@@ -215,17 +228,25 @@ class LazyTermPostings:
             return
         salts = sorted({self._salts[s] for s in need})
         rows = (
-            self._engine._postings_df.select(*SearchEngine._META_COLS)
+            self._engine._postings_df.select(*self._engine._meta_cols)
             .filter((F.col("term") == self.term) & F.col("salt").isin(salts))
             .collect()
         )
         for s, r in self._match_rows(rows, need, "metadata").items():
+            n_blk = len(r["block_count"])
+            if self._engine._tf_bounds:
+                mtf = (r["block_max_tf"]
+                       if "block_max_tf" in r.__fields__ and r["block_max_tf"] is not None
+                       else None)
+                mw = self._engine._bound_arr(mtf, n_blk)
+            else:
+                mw = np.array(r["block_max_weight"], dtype=np.float32)
             self._meta[s] = {
                 "first_doc": np.array(r["block_first_doc"], dtype=np.int64),
                 "max_doc": np.array(r["block_max_doc"], dtype=np.int64),
                 "counts": np.array(r["block_count"], dtype=np.int32),
                 "offsets": np.array(r["block_offset"], dtype=np.int64),
-                "max_weight": np.array(r["block_max_weight"], dtype=np.float32),
+                "max_weight": mw,
                 "kinds": np.array(r["block_kind"], dtype=np.uint8),
             }
             self.meta_shards_fetched += 1
@@ -242,6 +263,8 @@ class LazyTermPostings:
         )
         for s, r in self._match_rows(rows, need, "payload").items():
             pb = _row_to_blocks(r)
+            if self._engine._tf_bounds:
+                pb.max_weight = self._engine._bound_arr(pb.max_tf, pb.n_blocks)
             self._payload[s] = pb
             self.bytes_fetched += len(pb.payload)
             if s not in self._meta:  # the full row carries metadata too
@@ -373,6 +396,11 @@ class SearchEngine:
     # driver before it switches to the distributed distinct-count
     union_probe_budget_bytes: int = 32 << 20
     last_route: str = "kernel"  # diagnostics: "kernel" | "distributed"
+    # True ⇒ stored block-max WEIGHTS are stale (baked under a different
+    # avgdl than the live one — multi-segment, pre-compact) and every
+    # pruning bound must be derived from block max_tf instead, which is
+    # avgdl-free: w = tf/(tf + k1(1-b+b·dl/avgdl)) ≤ max_tf/(max_tf + k1(1-b))
+    _tf_bounds: bool = False
 
     def __init__(self, spark: SparkSession, index_dir: str, lazy_min_df: int | None = None,
                  hot_route_df: int | None = None):
@@ -393,6 +421,7 @@ class SearchEngine:
         self._postings_df = spark.read.parquet(f"{index_dir}/postings")
         self._term_stats_df = spark.read.parquet(f"{index_dir}/term_stats")
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
+        self._init_meta_cols()
         self._cache: dict[str, TermPostings | LazyTermPostings | None] = {}
         self._df_cache: dict[str, int | None] = {}
         self._dict_complete = False  # warm() may load the whole term dict
@@ -485,6 +514,25 @@ class SearchEngine:
         "block_count", "block_offset", "block_max_weight", "block_kind",
     )
 
+    def _init_meta_cols(self) -> None:
+        """Metadata column set + max_tf availability (pre-max_tf indexes
+        lack the column; everything falls back to stored weights)."""
+        self._has_max_tf = "block_max_tf" in self._postings_df.columns
+        self._meta_cols = self._META_COLS + (("block_max_tf",) if self._has_max_tf else ())
+
+    def _bound_arr(self, max_tf, n_blocks: int) -> np.ndarray:
+        """Per-block tf-weight upper bound valid under ANY avgdl:
+        w = tf/(tf + k1(1-b+b·dl/avgdl)) ≤ max_tf/(max_tf + k1(1-b)).
+        float64 with a hair of headroom so rounding can never understate;
+        missing max_tf ⇒ 1.0 (w < 1 always — valid, just unprunable)."""
+        if max_tf is None:
+            return np.ones(n_blocks, dtype=np.float64)
+        t = np.asarray(max_tf, dtype=np.float64)
+        c = self.k1 * (1.0 - self.b)
+        if c <= 0:
+            return np.ones(t.size, dtype=np.float64)
+        return (t / (t + c)) * (1.0 + 1e-12)
+
     # ---- batched postings fetch: one scan serves all terms ----
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | LazyTermPostings | None]:
         missing = [t for t in set(terms) if t not in self._cache]
@@ -517,6 +565,10 @@ class SearchEngine:
                         key=lambda r: (r["salt"], r["block_first_doc"][0] if r["block_first_doc"] else -1),
                     )
                     pb = concat_blocks([_row_to_blocks(r) for r in shards])
+                    if self._tf_bounds:
+                        # stale stored weights (multi-segment, pre-compact):
+                        # rebind the block maxima from avgdl-free max_tf
+                        pb.max_weight = self._bound_arr(pb.max_tf, pb.n_blocks)
                     self._cache[t] = TermPostings(
                         t,
                         int(sum(r["df"] for r in shards)),
@@ -528,16 +580,19 @@ class SearchEngine:
                 # shard — block metadata stays executor-side until a shard
                 # is an actual candidate (two-level lookup, reference
                 # src/build/chunks/mod.rs:24-26)
+                summ_cols = [
+                    "term", "salt", "df",
+                    F.element_at("block_first_doc", 1).alias("min_doc"),
+                    F.element_at("block_max_doc", -1).alias("max_doc"),
+                    F.array_max("block_max_weight").alias("max_weight"),
+                    F.element_at("block_offset", -1).alias("payload_bytes"),
+                    F.size("block_count").alias("n_blocks"),
+                ]
+                if self._has_max_tf:
+                    summ_cols.append(F.array_max("block_max_tf").alias("max_tf"))
                 summ = (
                     self._postings_df.filter(F.col("term").isin(hot))
-                    .select(
-                        "term", "salt", "df",
-                        F.element_at("block_first_doc", 1).alias("min_doc"),
-                        F.element_at("block_max_doc", -1).alias("max_doc"),
-                        F.array_max("block_max_weight").alias("max_weight"),
-                        F.element_at("block_offset", -1).alias("payload_bytes"),
-                        F.size("block_count").alias("n_blocks"),
-                    )
+                    .select(*summ_cols)
                     .collect()
                 )
                 by_term = {}

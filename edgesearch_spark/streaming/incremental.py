@@ -228,6 +228,15 @@ class MultiSegmentEngine(SearchEngine):
         self._postings_df = spark.read.parquet(*[f"{s}/postings" for s in segment_dirs])
         self._term_stats_df = spark.read.parquet(*[f"{s}/term_stats" for s in segment_dirs])
         self._docs_df = spark.read.parquet(*[f"{s}/docs" for s in segment_dirs])
+        self._init_meta_cols()
+        # stored block-max weights were baked under each SEGMENT's avgdl;
+        # once the union avgdl differs they understate true bounds and the
+        # pruned kernel would be rank-unsafe. With per-block max_tf in the
+        # index, bounds derive from max_tf under the live avgdl instead
+        # (engine._bound_arr) and WAND stays on without compaction.
+        self._fresh_avgdl = all(
+            abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
+        self._tf_bounds = (not self._fresh_avgdl) and self._has_max_tf
         self._cache = {}
         self._df_cache = {}
         self._dict_complete = False
@@ -368,17 +377,21 @@ class MultiSegmentEngine(SearchEngine):
         return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
     def search_bm25_wand(self, q, exact_total: bool = True):
-        """Pruned kernel is only rank-safe when block-max weights were baked
-        under the live avgdl: each segment baked w = tf/(tf + k1(1-b+b·dl/avgdl_seg)),
-        so when global avgdl > avgdl_seg the stored maxima UNDERESTIMATE the
-        true upper bounds and WAND could silently prune true top-k docs.
-        Enforce the compact()-first contract instead of trusting callers:
-        delegate to exhaustive (still exact) scoring unless every segment's
-        avgdl matches the global one (e.g. single segment, or post-compact).
-        Tombstones also delegate: the union-total metadata algebra and
+        """The pruned kernel runs whenever its bounds are safe:
+
+          * fresh avgdl (single segment / post-compact) — stored block-max
+            weights ARE the live bounds;
+          * stale avgdl but the index carries per-block max_tf — bounds are
+            derived avgdl-free (_tf_bounds; engine._bound_arr), so WAND
+            stays on across un-compacted segments, bit-identical to
+            exhaustive (tests/test_deletes.py, test_streaming.py);
+          * otherwise (pre-max_tf index) delegate to exhaustive scoring —
+            stored maxima would UNDERESTIMATE true bounds when the union
+            avgdl exceeds a segment's and could silently prune top-k docs.
+
+        Tombstones always delegate: the union-total metadata algebra and
         contain-only seeding don't know about live-docs, while the
         exhaustive path filters through _bool_kernel."""
-        fresh = all(abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
-        if not fresh or self._has_deletes:
+        if self._has_deletes or (not self._fresh_avgdl and not self._tf_bounds):
             return self.search_bm25(q)
         return super().search_bm25_wand(q, exact_total=exact_total)

@@ -241,3 +241,15 @@ def test_containers_at_large_docids():
         lo = int(np.cumsum(pb.counts)[i - 1]) if i else 0
         db, tb = decode_block(pb, i)
         assert db.tolist() == docs[lo : lo + int(pb.counts[i])]
+
+
+def test_postings_block_max_tf():
+    """Per-block max raw tf rides beside max_weight (avgdl-free WAND bounds
+    for multi-segment engines) and survives concat-merge."""
+    from edgesearch_spark.codec import concat_blocks
+
+    pb = _mk([0, 1, 5, 100, 101, 102, 4_000_000_000], [1, 3, 2, 9, 1, 1, 7], block_size=3)
+    assert pb.max_tf.tolist() == [3, 9, 7]
+    pb2 = _mk([5_000_000_000, 5_000_000_001], [4, 2], block_size=3)
+    merged = concat_blocks([pb, pb2])
+    assert merged.max_tf.tolist() == [3, 9, 7, 4]

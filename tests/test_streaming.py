@@ -113,8 +113,9 @@ def test_compact_restores_single_index(spark, corpus_parts, tmp_path_factory):
 
 def test_multisegment_wand_is_rank_safe(spark, corpus_parts, tmp_path_factory):
     """MultiSegmentEngine.search_bm25_wand must not trust per-segment
-    block-max metadata (baked under per-segment avgdl): it delegates to
-    exhaustive scoring pre-compact, so its ranking is always exact."""
+    block-max metadata (baked under per-segment avgdl): pre-compact it
+    derives avgdl-free bounds from per-block max_tf (or, on pre-max_tf
+    indexes, delegates to exhaustive scoring) — ranking is always exact."""
     root = str(tmp_path_factory.mktemp("wand_idx"))
     indexer = IncrementalIndexer(spark, root, CFG)
     for epoch in range(3):
@@ -173,3 +174,47 @@ def test_multisegment_hot_route_parity(spark, corpus_parts, tmp_path_factory):
         wa, wb = eager.search_bm25_wand(q), routed.search_bm25_wand(q)
         assert list(wa.doc_ids) == list(wb.doc_ids), q
     assert n_routed >= 1, "route never engaged on the multi-segment engine"
+
+
+def test_multisegment_wand_prunes_via_max_tf_bounds(spark, tmp_path_factory):
+    """VERDICT r3 item 4: WAND must stay ON across un-compacted segments.
+    Stored block-max weights are stale there (baked per-segment avgdl), but
+    per-block max_tf derives a live-avgdl-free bound — the kernel runs,
+    skips blocks, and is bit-identical to exhaustive scoring."""
+    from edgesearch_spark.wand import wand_topk
+
+    root = str(tmp_path_factory.mktemp("tfbound"))
+    indexer = IncrementalIndexer(spark, root, IndexConfig(block_size=16, salt_shift=7),
+                                 order_cols=("path",), content_col="content")
+    for epoch in range(3):
+        rows = []
+        for i in range(240):
+            if i < 16:  # heavy docs: high tf, SHORT — the true top-k
+                text = "score " * 8
+            else:       # light docs: tf=1, long — prunable blocks
+                text = "score " + " ".join(f"pad{epoch}x{j}" for j in range(40 + 20 * epoch))
+            rows.append((f"e{epoch}_{i:04d}", text))
+        indexer.ingest_batch(spark.createDataFrame(rows, "path string, content string"), epoch)
+
+    multi = indexer.engine()
+    assert len({round(a, 6) for a in multi._segment_avgdls}) > 1  # avgdls differ
+    assert multi._tf_bounds  # the new bound mode is actually active
+
+    q = Query.make(contain=["score"], k=10)
+    w, e = multi.search_bm25_wand(q), multi.search_bm25(q)
+    assert list(w.doc_ids) == list(e.doc_ids)
+    assert list(w.scores) == list(e.scores)  # bit-identical
+    assert w.total == e.total
+
+    # kernel-level: blocks are genuinely skipped under the tf-derived bounds
+    p = multi.fetch_terms(["score"])["score"]
+    res = wand_topk([(multi.idf(p.df), p)], 10, multi.doclens,
+                    multi.k1, multi.b, multi.avgdl)
+    assert res.blocks_skipped > 0, res
+    assert list(res.doc_ids) == list(e.doc_ids)
+
+    # multi-term mixed shape stays exact too
+    q2 = Query.make(require=["score"], contain=["pad0x1", "pad2x5"], k=8)
+    w2, e2 = multi.search_bm25_wand(q2), multi.search_bm25(q2)
+    assert list(w2.doc_ids) == list(e2.doc_ids)
+    assert list(w2.scores) == list(e2.scores)
