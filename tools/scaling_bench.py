@@ -31,7 +31,10 @@ def loadavg() -> float:
 
 def run_bench(cpus: int, docs: int) -> dict:
     env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "BENCH_CORPUS_DOCS": str(docs),
-           "BENCH_TRIALS": "1"}
+           "BENCH_TRIALS": "1",
+           # scaling pairs measure BUILD throughput; one query sweep per
+           # invocation keeps pair cadence at the r3 protocol's
+           "BENCH_QUERY_TRIALS": "1"}
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,
