@@ -169,6 +169,55 @@ class IncrementalIndexer:
         )
         return out_dir
 
+    def compact_in_place(self) -> str:
+        """The Lucene merge, applied to THIS index: merge every segment
+        (minus tombstoned docs) into one fresh segment inside the root and
+        swap the manifest — afterwards queries serve from a single segment
+        with globally consistent stats (WAND bounds fresh again), the
+        tombstone set is empty, and old segment dirs are deleted.
+
+        Crash-safe ordering: the new segment is built completely first,
+        then the manifest swap (os.replace — atomic) publishes it, then old
+        dirs + tombstones are removed. A crash at any point leaves a
+        readable index: either the old multi-segment view or the new
+        single-segment one."""
+        import shutil
+
+        man = self.manifest()
+        if not man["segments"]:
+            return self.root
+        gen = int(man.get("compaction_gen", 0)) + 1
+        seg_name = f"seg_compacted_{gen:06d}"
+        seg_dir = os.path.join(self.root, seg_name)
+        self.compact(seg_dir)
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            n_docs = json.load(f)["n_docs"]
+        old = man["segments"]
+        self._commit({"segments": [seg_name], "next_doc_id": n_docs,
+                      "compaction_gen": gen})
+        for s in old:
+            if s != seg_name:
+                shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
+        shutil.rmtree(self._tombstone_dir, ignore_errors=True)
+        return seg_dir
+
+    def maybe_compact(self, max_segments: int = 8,
+                      max_tombstone_frac: float = 0.2) -> str | None:
+        """Merge-policy trigger (the background maintenance a long-running
+        index needs): compact when the segment count or the tombstone
+        fraction crosses its budget. Returns the new segment dir, or None
+        when no compaction was needed."""
+        man = self.manifest()
+        if not man["segments"]:
+            return None
+        n_tomb = 0
+        if os.path.exists(self._tombstone_dir):
+            n_tomb = self.spark.read.parquet(self._tombstone_dir).distinct().count()
+        frac = n_tomb / max(1, int(man["next_doc_id"]))
+        if len(man["segments"]) > max_segments or frac > max_tombstone_frac:
+            return self.compact_in_place()
+        return None
+
 
 class MultiSegmentEngine(SearchEngine):
     """SearchEngine over the union of segment tables with recomputed global

@@ -159,3 +159,57 @@ def test_tombstone_budget_routes_distributed(spark, indexed):
         assert dist.last_route == "distributed"
         w = dist.search_bm25_wand(q)  # delegates under deletes, still exact
         assert (w.total, list(w.doc_ids), list(w.scores)) == (b.total, list(b.doc_ids), list(b.scores)), q
+
+
+def test_compact_in_place_swaps_manifest_and_continues(spark, tmp_path_factory):
+    """In-place compaction (the Lucene merge): segments collapse to one
+    inside the root, tombstoned docs vanish for good, old segment dirs are
+    removed, WAND bounds are fresh again, and ingestion continues with
+    docIDs picking up after the compacted space."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("inplace"))
+    idx = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    for epoch in range(3):
+        rows = [(f"p{epoch}_{i:03d}", f"alpha{i % 7} target common fill{epoch}_{i}")
+                for i in range(80)]
+        idx.ingest_batch(spark.createDataFrame(rows, "path string, content string"), epoch)
+    idx.delete_docs([0, 5, 100, 200])
+
+    before = idx.engine()
+    want_paths = sorted(
+        r["path"] for r in before.fetch_docs_df(
+            before.search_df(Query.make(require=["target"]))).select("path").collect()
+    )
+
+    # policy: 3 segments under the default budget → no compact; tiny budget → compact
+    assert idx.maybe_compact(max_segments=8, max_tombstone_frac=0.9) is None
+    seg = idx.maybe_compact(max_segments=2)
+    assert seg is not None
+
+    man = idx.manifest()
+    assert len(man["segments"]) == 1 and man["segments"][0].startswith("seg_compacted_")
+    assert man["next_doc_id"] == 240 - 4
+    assert not os.path.exists(idx._tombstone_dir)
+    assert sorted(os.listdir(root)) == sorted(
+        [man["segments"][0]] + (["segments.json"]))
+
+    after = idx.engine()
+    assert after._deleted.size == 0 and after._tomb_df is None
+    got_paths = sorted(
+        r["path"] for r in after.fetch_docs_df(
+            after.search_df(Query.make(require=["target"]))).select("path").collect()
+    )
+    assert got_paths == want_paths
+    # single fresh segment ⇒ the pruned WAND kernel serves again, exactly
+    q = Query.make(contain=["target", "alpha1"], k=10)
+    w, e = after.search_bm25_wand(q), after.search_bm25(q)
+    assert (list(w.doc_ids), list(w.scores)) == (list(e.doc_ids), list(e.scores))
+
+    # ingestion continues: new docIDs start at the compacted n_docs
+    idx.ingest_batch(spark.createDataFrame(
+        [("new_001", "target brandnewterm")], "path string, content string"), 99)
+    cont = idx.engine()
+    r = cont.search(Query.make(require=["brandnewterm"]))
+    assert r.doc_ids == [236]
+    assert cont.n_docs == 237
