@@ -92,29 +92,63 @@ def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
 
 
 class TermPostings:
-    __slots__ = ("term", "df", "max_weight", "blocks")
+    lazy = False  # fully materialized on the driver (wand.py skips θ-bootstrap)
+
+    __slots__ = ("term", "df", "max_weight", "blocks", "_dec")
 
     def __init__(self, term: str, df: int, max_weight: float, blocks: PostingBlocks):
         self.term, self.df, self.max_weight, self.blocks = term, df, max_weight, blocks
+        # decode-once memo (docs, tfs): a query touches the same list many
+        # times (boolean kernel, WAND seeding, exact rescoring) and the
+        # repeated decode_all was the measured kernel hotspot (~0.05 s per
+        # decode of a df≈500k list, up to 7 decodes per mixed query). The
+        # memo is bounded: eager terms hold ≤ lazy_min_df postings by
+        # construction (hotter terms are LazyTermPostings), so ≤ 16 MB/term.
+        self._dec: tuple[np.ndarray, np.ndarray] | None = None
 
     # ---- kernel interface (shared with LazyTermPostings) ----
     @property
     def n_blocks(self) -> int:
         return self.blocks.n_blocks
 
+    def _decoded(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._dec is None:
+            self._dec = decode_all(self.blocks)
+        return self._dec
+
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(first_doc, max_doc, counts) per block — metadata only."""
         return self.blocks.first_doc, self.blocks.max_doc, self.blocks.counts
 
     def all_docs(self) -> np.ndarray:
-        return decode_all(self.blocks)[0]
+        return self._decoded()[0]
 
     def lookup_tfs(self, doc_ids: np.ndarray) -> np.ndarray:
-        return lookup_tfs(self.blocks, doc_ids)
+        if self._dec is None:
+            # not decoded yet: sparse probes take the block-skip path (never
+            # force a full decode for a few candidates); dense probes decode
+            # once and keep it
+            blk = np.searchsorted(self.blocks.max_doc, doc_ids, side="left")
+            touched = np.unique(blk[blk < self.blocks.n_blocks])
+            if touched.size <= max(32, self.blocks.n_blocks // 4):
+                return lookup_tfs(self.blocks, doc_ids)
+            self._decoded()
+        docs, tfs = self._dec
+        out = np.zeros(doc_ids.size, dtype=np.int64)
+        pos = np.searchsorted(docs, doc_ids)
+        ok = pos < docs.size
+        hit = np.zeros(doc_ids.size, dtype=bool)
+        hit[ok] = docs[pos[ok]] == doc_ids[ok]
+        out[hit] = tfs[pos[hit]]
+        return out
 
     def decode_blocks_docs(self, block_idx: np.ndarray) -> np.ndarray:
         if block_idx.size == 0:
             return np.empty(0, np.int64)
+        if self._dec is not None:  # slice the memo — no decoding at all
+            bs = np.concatenate([[0], np.cumsum(self.blocks.counts)]).astype(np.int64)
+            docs = self._dec[0]
+            return np.concatenate([docs[bs[i] : bs[i + 1]] for i in block_idx])
         return np.concatenate([decode_block(self.blocks, int(i))[0] for i in block_idx])
 
     # ---- WAND seeding protocol ----
@@ -125,6 +159,12 @@ class TermPostings:
         skipped = int((~keep).sum())
         if not keep.any():
             return np.empty(0, np.int64), skipped
+        if keep.all():
+            return self.all_docs(), skipped
+        if self._dec is None and int(keep.sum()) > self.blocks.n_blocks // 4:
+            # mostly-kept: one vectorized decode (memoized) then slice beats
+            # a python decode_block call per kept block by ~10×
+            self._decoded()
         return self.decode_blocks_docs(np.flatnonzero(keep)), skipped
 
     def bootstrap_docs(self, n_blocks: int) -> np.ndarray:
@@ -163,6 +203,8 @@ class LazyTermPostings:
     Shards are docID-range-disjoint by construction (salt = doc_id >> shift
     is a range bucket; multi-segment splits of one salt carry disjoint
     global docID ranges), so candidate→shard routing is a searchsorted."""
+
+    lazy = True  # wand.py θ-bootstraps before seeding a lazy top term
 
     __slots__ = (
         "term", "df", "max_weight", "_engine", "_salts", "_smin", "_smax",

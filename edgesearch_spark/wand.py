@@ -98,10 +98,17 @@ def wand_topk(
     # docs stay in the pool, so this is pure work-reordering: any θ they set
     # only prunes blocks that provably cannot reach the page. Two-level lazy
     # postings fetch only the few shards owning those blocks.
-    boot_blocks = max(4 * k, 8)
-    boot = np.unique(tps[0].bootstrap_docs(boot_blocks))
-    if boot.size:
-        absorb(boot)
+    #
+    # ONLY when the seeding term is served lazily: for an eager TermPostings
+    # the payload is already on the driver and θ = -inf seeding is exactly
+    # one full decode, so pre-decoding the top blocks is pure double work
+    # (measured +40-100 ms per query at 500k docs, zero extra skips on
+    # uniform corpora — the r2→r3 wand_* latency regression).
+    if getattr(tps[0], "lazy", False):
+        boot_blocks = max(4 * k, 8)
+        boot = np.unique(tps[0].bootstrap_docs(boot_blocks))
+        if boot.size:
+            absorb(boot)
 
     for i, (idf, tp) in enumerate(zip(idfs, tps)):
         if suffix[i] < theta:
