@@ -225,12 +225,14 @@ class LazyTermPostings:
         self._smax = np.array([r["max_doc"] for r in shards], dtype=np.int64)
         if engine._tf_bounds:
             # stored weights are stale; shard bound from avgdl-free max_tf
-            self._smw = np.concatenate([
-                engine._bound_arr(
-                    None if "max_tf" not in r.__fields__ or r["max_tf"] is None
-                    else [r["max_tf"]], 1)
-                for r in shards
-            ]) if shards else np.empty(0, np.float64)
+            # (vectorized — shards can number df/2^16; -1 marks a missing
+            # max_tf, bounded by 1.0 like _bound_arr's None case)
+            smtf = np.array(
+                [r["max_tf"] if "max_tf" in r.__fields__ and r["max_tf"] is not None
+                 else -1 for r in shards], dtype=np.float64)
+            c = engine.k1 * (1.0 - engine.b)
+            self._smw = np.where(
+                (smtf > 0) & (c > 0), (smtf / (smtf + c)) * (1.0 + 1e-12), 1.0)
         else:
             self._smw = np.array([r["max_weight"] for r in shards], dtype=np.float64)
         self._sdf = np.array([r["df"] for r in shards], dtype=np.int64)

@@ -206,15 +206,26 @@ def test_multisegment_wand_prunes_via_max_tf_bounds(spark, tmp_path_factory):
     assert list(w.scores) == list(e.scores)  # bit-identical
     assert w.total == e.total
 
-    # kernel-level: blocks are genuinely skipped under the tf-derived bounds
-    p = multi.fetch_terms(["score"])["score"]
-    res = wand_topk([(multi.idf(p.df), p)], 10, multi.doclens,
-                    multi.k1, multi.b, multi.avgdl)
-    assert res.blocks_skipped > 0, res
-    assert list(res.doc_ids) == list(e.doc_ids)
-
     # multi-term mixed shape stays exact too
     q2 = Query.make(require=["score"], contain=["pad0x1", "pad2x5"], k=8)
     w2, e2 = multi.search_bm25_wand(q2), multi.search_bm25(q2)
     assert list(w2.doc_ids) == list(e2.doc_ids)
     assert list(w2.scores) == list(e2.scores)
+
+    # LAZY serving under tf-bounds: shard summaries derive their bounds from
+    # max_tf too (vectorized branch); the θ-bootstrap runs (lazy top term)
+    # and blocks are genuinely SKIPPED under the tf-derived bounds — while
+    # the page stays bit-identical
+    lazy_eng = indexer.engine()
+    lazy_eng.lazy_min_df = 10
+    from edgesearch_spark.engine import LazyTermPostings
+
+    wl = lazy_eng.search_bm25_wand(q)
+    p = lazy_eng._cache["score"]
+    assert isinstance(p, LazyTermPostings)
+    assert list(wl.doc_ids) == list(e.doc_ids)
+    assert list(wl.scores) == list(e.scores)
+    res = wand_topk([(lazy_eng.idf(p.df), p)], 10, lazy_eng.doclens,
+                    lazy_eng.k1, lazy_eng.b, lazy_eng.avgdl)
+    assert res.blocks_skipped > 0, res
+    assert list(res.doc_ids) == list(e.doc_ids)
