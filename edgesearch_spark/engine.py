@@ -1149,9 +1149,22 @@ class SearchEngine:
         ids_df = self.spark.createDataFrame([(int(d),) for d in doc_ids] or [(None,)], "doc_id long")
         return self._docs_df.join(F.broadcast(ids_df.filter(F.col("doc_id").isNotNull())), "doc_id")
 
-    def fetch_docs_df(self, ids_df: DataFrame) -> DataFrame:
+    def fetch_docs_df(self, ids_df: DataFrame, prune_range: bool = False) -> DataFrame:
         """Join a docID DataFrame (e.g. search_df output) to the docs store
         — the cluster-side twin of fetch_docs: candidates never visit the
         driver, and AQE picks broadcast vs shuffle join by the ids side's
-        runtime size."""
-        return self._docs_df.join(ids_df.select("doc_id"), "doc_id")
+        runtime size.
+
+        ``prune_range=True`` additionally computes the candidates' docID
+        [min,max] (two scalars — driver-safe at any cardinality) and pushes
+        ``doc_id BETWEEN`` into the docs scan: the store is docID-sorted, so
+        parquet zone maps skip whole row groups/files outside the candidate
+        span. Costs one extra small aggregation job (candidates recompute)."""
+        ids = ids_df.select("doc_id")
+        store = self._docs_df
+        if prune_range:
+            b = ids.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+            if b["lo"] is None:
+                return store.filter(F.lit(False))
+            store = store.filter(F.col("doc_id").between(int(b["lo"]), int(b["hi"])))
+        return store.join(ids, "doc_id")

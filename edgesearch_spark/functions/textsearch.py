@@ -147,6 +147,25 @@ def regex_search(docs: DataFrame, pattern: str, id_col: str = "doc_id",
     return docs.filter(cond).select(id_col)
 
 
+def verify_on_candidates(fetched: DataFrame, cond: Column) -> DataFrame:
+    """Run an expensive verify predicate strictly AFTER the candidates join.
+
+    Catalyst pushes any deterministic single-side predicate below a join and
+    into the scan's DataFilters — which would evaluate the regex / phrase
+    tokenization against EVERY doc in the store, silently turning the
+    two-stage index design back into a corpus scan (observed in the
+    physical plan: RLIKE inside the docs FileScan). Nondeterministic
+    predicates may not be reordered, so the WHOLE condition is wrapped in
+    one nondeterministic expression — with identical branches, so the value
+    is exactly ``cond`` (incl. NULL-drops). Both a bare `& (rand() > -1)`
+    conjunct and a `when(rand() > -1, …)` guard fail here: Spark 4 splits
+    conjuncts and range-folds rand() comparisons with out-of-[0,1) bounds;
+    identical-branch CASE WHEN over an unfoldable rand() < 0.5 survives
+    (plan-asserted in tests)."""
+    guarded = F.when(F.rand() < F.lit(0.5), cond).otherwise(cond)
+    return fetched.filter(guarded)
+
+
 def index_regex_search(engine, pattern: str, content_col: str = "content",
                        max_terms_per_literal: int = 20_000,
                        max_literals: int = 4) -> DataFrame:
@@ -208,4 +227,8 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     if "(?i" not in pattern:  # contains() is case-sensitive; skip under (?i)
         for t in lits[:4]:  # cheap substring check still fronts the regex
             cond = F.col(content_col).contains(t) & cond
-    return engine.fetch_docs_df(cands).filter(cond).select("doc_id")
+    # no prune_range here: the bounds aggregation would execute the whole
+    # candidates subplan a second time (decode + groupBy — the expensive
+    # part); the barrier alone keeps the verify off the corpus scan
+    fetched = engine.fetch_docs_df(cands)
+    return verify_on_candidates(fetched, cond).select("doc_id")

@@ -1104,7 +1104,12 @@ def q_idx_phrase_match(spark, sf_dir):
     eng = SearchEngine(spark, _index_for(spark, sf_dir))
     cands = eng.search_df(Query.make(require=["stream", "column"]))
     fetched = eng.fetch_docs_df(cands)
-    return fetched.filter(phrase_col("content", ["stream", "column"])).select("doc_id")
+    # verify_on_candidates: without the barrier Catalyst pushes the phrase
+    # tokenization below the join — tokenizing EVERY doc in the store
+    from ..functions.textsearch import verify_on_candidates
+
+    return verify_on_candidates(
+        fetched, phrase_col("content", ["stream", "column"])).select("doc_id")
 
 
 SQL_IDX_PHRASE_MATCH = SQL_PHRASE_MATCH

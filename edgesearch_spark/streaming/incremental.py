@@ -419,8 +419,8 @@ class MultiSegmentEngine(SearchEngine):
             return out
         return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
-    def fetch_docs_df(self, ids_df):
-        out = super().fetch_docs_df(ids_df)
+    def fetch_docs_df(self, ids_df, prune_range: bool = False):
+        out = super().fetch_docs_df(ids_df, prune_range=prune_range)
         if not self._has_deletes:
             return out
         return out.join(self._tombstones_df(), "doc_id", "left_anti")

@@ -184,3 +184,30 @@ def test_index_regex_no_literal_falls_back_and_absent_literal_short_circuits(spa
     assert got == [3]
     # a literal in NO dictionary term proves zero matches without a doc scan
     assert index_regex_search(regex_index, r"zzqqxyzzy123 vector").count() == 0
+
+
+def test_verify_stays_above_candidates_join(spark, regex_index):
+    """The two-stage design must SURVIVE Catalyst: without the
+    verify_on_candidates barrier the rlike/phrase predicate is pushed below
+    the join into the docs FileScan (= a corpus scan with extra steps).
+    Assert the optimized plan keeps the expensive predicate out of the scan
+    and above the join, for both idx operators."""
+    from edgesearch_spark.functions.textsearch import index_regex_search, phrase_col, verify_on_candidates
+    from edgesearch_spark.oracle import Query
+
+    df = index_regex_search(regex_index, r"merge[a-z ]{0,20}vector")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    scan_like = [ln for ln in plan.splitlines() if "Relation" in ln or "FileScan" in ln]
+    assert not any("RLIKE" in ln or "rlike" in ln for ln in scan_like), scan_like
+    assert "CASE WHEN (rand(" in plan  # the barrier survived optimization
+
+    cands = regex_index.search_df(Query.make(require=["spark", "sql"]))
+    fetched = regex_index.fetch_docs_df(cands)
+    ph = verify_on_candidates(fetched, phrase_col("content", ["spark", "sql"])).select("doc_id")
+    plan2 = ph._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN (rand(" in plan2
+    # and results are still exactly the scan path's
+    got = sorted(r["doc_id"] for r in ph.collect())
+    assert got == sorted(r["doc_id"] for r in phrase_search(
+        regex_index._docs_df.withColumnRenamed("content", "content"), "spark sql",
+        content_col="content").collect())
