@@ -710,6 +710,41 @@ FROM documents
 """
 
 
+def q_code_token_stats(spark, sf_dir):
+    """Source-code identifier splitting (camelCase / snake_case / acronym /
+    digit boundaries — 'getUserName' → get, user, name) with per-doc
+    subtoken stats. Pure JVM regexp passes + one split; the boundary rules
+    are consume-style (no lookahead) so the RE2-based oracle runs the exact
+    same transforms."""
+    from ..functions.code import code_token_stats
+
+    return code_token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_CODE_TOKEN_STATS = """
+WITH marked AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '([A-Z]+)([A-Z][a-z])', '\\1$\\2', 'g'),
+          '([a-z0-9])([A-Z])', '\\1$\\2', 'g'),
+        '([a-zA-Z])([0-9])', '\\1$\\2', 'g'),
+      '([0-9])([a-zA-Z])', '\\1$\\2', 'g') AS m
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(m), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM marked
+)
+SELECT doc_id,
+       len(ts) AS n_subtokens,
+       len(list_distinct(ts)) AS n_distinct,
+       len(list_filter(ts, t -> regexp_matches(t, '^[0-9]+$'))) AS n_numeric
+FROM toks
+"""
+
+
 def q_token_bpe(spark, sf_dir):
     """BPE-pretokenizer-shaped subword counting (training-data costing):
     the regex is ASCII-simplified so Java regex and RE2 agree exactly."""
@@ -1372,6 +1407,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "code_token_stats": (q_code_token_stats, SQL_CODE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
