@@ -80,6 +80,12 @@ class IndexConfig:
     # the JVM 'collect' tokenizer has no normalization hook → build refuses.
     word_map: dict | None = None
     field_prefix: str | None = None
+    # source-code mode: insert identifier-boundary markers (camelCase /
+    # snake_case / acronym / digit, functions/code.py) into the
+    # TOKENIZATION input, so `user` finds `getUserName`. The docs store
+    # keeps the original content (sha256 invariant untouched); doclens and
+    # BM25 statistics count subtokens, consistently with the index.
+    split_identifiers: bool = False
 
 
 @dataclass
@@ -337,6 +343,12 @@ def build_index(
 
     _tune_split_size(spark, docs_path, n_part)
     docs_df = spark.read.parquet(docs_path)
+    if cfg.split_identifiers:
+        # applies to tokenization inputs only — stage 1 (original content)
+        # is already on disk
+        from .functions.code import identifier_marked_col
+
+        docs_df = docs_df.withColumn(content_col, identifier_marked_col(content_col))
     pairs = tokenize_pairs(docs_df, "doc_id", content_col)
 
     # ---- stage 2: corpus stats (N, avgdl) + doc-length norms ----
@@ -370,6 +382,7 @@ def build_index(
             "salt_shift": cfg.salt_shift,
             "max_query_terms": cfg.max_query_terms,
             "max_results": cfg.max_results,
+            "split_identifiers": cfg.split_identifiers,
         }
         tmp = os.path.join(out_dir, "stats.json.tmp")
         with open(tmp, "w") as f:

@@ -37,15 +37,24 @@ _BOUNDARIES = (
 )
 
 
+def identifier_marked_col(content_col: str) -> Column:
+    """``content_col`` with a ``$`` marker inserted at every identifier
+    boundary — the pre-tokenization transform (``$`` is a token separator
+    for every tokenizer impl, so downstream split/lower yields subtokens).
+    This is what ``IndexConfig(split_identifiers=True)`` feeds the build's
+    tokenize stages while the docs store keeps the ORIGINAL content."""
+    c = F.col(content_col)
+    for pat in _BOUNDARIES:
+        c = F.regexp_replace(c, pat, r"$1\$$2")  # '$' never survives the split
+    return c
+
+
 def identifier_subtokens_col(content_col: str) -> Column:
     """array<string> of lowercased identifier subtokens of ``content_col``
     (empty strings dropped; original multi-word identifiers disappear —
     callers union this with the plain token stream when both granularities
     should be indexed)."""
-    c = F.col(content_col)
-    for pat in _BOUNDARIES:
-        c = F.regexp_replace(c, pat, r"$1\$$2")  # '$' never survives the split
-    toks = F.split(F.lower(c), r"[^a-zA-Z0-9]+")
+    toks = F.split(F.lower(identifier_marked_col(content_col)), r"[^a-zA-Z0-9]+")
     return F.filter(toks, lambda t: t != "")
 
 

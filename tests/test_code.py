@@ -58,3 +58,42 @@ def test_subtoken_index_finds_camelcase(spark, code_docs, tmp_path_factory):
     assert eng.search(Query.make(require=["json"])).doc_ids == [2]
     # the full identifier is NOT a term of the subtoken index
     assert eng.search(Query.make(require=["getusername"])).total == 0
+
+
+def test_split_identifiers_index_option(spark, code_docs, tmp_path_factory):
+    """IndexConfig(split_identifiers=True): the INDEX carries subtoken
+    terms (query 'user' finds `getUserName`) while the docs store keeps
+    the original content (sha256 invariant untouched); doclens counts
+    subtokens. All postings impls accept the option (the marker transform
+    runs JVM-side before any tokenizer)."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.build import IndexConfig, build_index, load_stats
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.oracle import Query
+
+    out = str(tmp_path_factory.mktemp("splitids"))
+    build_index(spark, code_docs, out,
+                IndexConfig(block_size=8, salt_shift=4, split_identifiers=True),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    assert load_stats(out)["split_identifiers"] is True
+    assert eng.search(Query.make(require=["user"])).doc_ids == [0]
+    assert eng.search(Query.make(require=["server"])).doc_ids == [1]
+    assert eng.search(Query.make(require=["getusername"])).total == 0
+    # original content round-trips (store unaffected by the marker pass)
+    row = eng.fetch_docs([0]).collect()[0]
+    assert row["content"] == "def getUserName(self): return self.userName"
+    # doclens = subtoken counts (doc 0 has 9 subtokens, not 6 raw tokens)
+    dl = {r["doc_id"]: r["dl"] for r in spark.read.parquet(f"{out}/doclens").collect()}
+    assert dl[0] == 9
+
+    # a second impl builds byte-identical postings with the option on
+    out2 = str(tmp_path_factory.mktemp("splitids2"))
+    build_index(spark, code_docs, out2,
+                IndexConfig(block_size=8, salt_shift=4, split_identifiers=True,
+                            postings_impl="sortstream"),
+                doc_id_col="doc_id", content_col="content")
+    a = spark.read.parquet(f"{out}/postings").orderBy("term", "salt").collect()
+    b = spark.read.parquet(f"{out2}/postings").orderBy("term", "salt").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
