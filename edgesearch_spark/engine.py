@@ -791,6 +791,36 @@ class SearchEngine:
         """Every live docID — the default-results set, distributed."""
         return self.spark.range(self.n_docs).select(F.col("id").cast("long").alias("doc_id"))
 
+    def facets_df(self, q: Query, cols: list[str]) -> DataFrame:
+        """Hit counts grouped by docs-store metadata columns — the
+        aggregations-alongside-search surface (Elasticsearch terms-agg
+        shape). One distributed plan: the boolean result SET (search_df,
+        never on the driver) joins the docs store pruned to ``cols`` and
+        aggregates; facet cardinality bounds the result size, not the hit
+        count — safe at any selectivity."""
+        hits = self.search_df(q)
+        store = self._docs_df.select("doc_id", *cols)
+        return (store.join(hits, "doc_id")
+                .groupBy(*cols).agg(F.count(F.lit(1)).alias("n_docs")))
+
+    def suggest_terms(self, term: str, max_distance: int = 1, k: int = 5) -> DataFrame:
+        """Did-you-mean: dictionary terms within ``max_distance`` edits,
+        best-first by (distance, df desc, term). The scan is pruned by a
+        pushed length window before any edit-distance evaluates — over a
+        10^9-term dictionary the levenshtein runs on the tiny length band,
+        not the dictionary. (term, dist, df) rows; multi-segment dfs sum."""
+        t = term.lower()
+        n = len(t)
+        return (
+            self._term_stats_df
+            .filter(F.length("term").between(n - max_distance, n + max_distance))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= max_distance)
+            .groupBy("term", "dist").agg(F.sum("df").alias("df"))
+            .orderBy("dist", F.col("df").desc(), "term")
+            .limit(k)
+        )
+
     def _score_docs(self, scoring: list, cands: np.ndarray) -> np.ndarray:
         """Exact BM25 over given docs, summing terms in caller order — the
         single scoring code path, so kernel / WAND / distributed-rescore

@@ -1338,6 +1338,51 @@ def q_idx_bm25_topk(spark, sf_dir):
 
 SQL_IDX_BM25_TOPK = SQL_BM25_TOPK
 
+def q_idx_facet_lang(spark, sf_dir):
+    """Faceted search (Elasticsearch terms-agg shape): hit counts of a
+    boolean query grouped by the docs-store `lang` column — search_df keeps
+    the hit set cluster-side, the join prunes the store to (doc_id, lang),
+    and the result is facet-cardinality-sized regardless of selectivity."""
+    from ..engine import SearchEngine
+    from ..oracle import Query
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return eng.facets_df(Query.make(require=["table"], exclude=["vector"]), ["lang"])
+
+
+SQL_IDX_FACET_LANG = f"""
+WITH {_PAIRS_CTE}
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM pairs WHERE term = 'table')
+  AND d.doc_id NOT IN (SELECT doc_id FROM pairs WHERE term = 'vector')
+GROUP BY d.lang
+"""
+
+
+def q_term_suggest(spark, sf_dir):
+    """Did-you-mean: dictionary terms within 2 edits of the misspelling
+    'tabel' ('label' at 1, 'table' at 2 — transpositions are 2 in plain
+    levenshtein), best-first by (distance, df desc, term). The
+    length-window filter prunes the dictionary scan before any levenshtein
+    evaluates."""
+    from ..engine import SearchEngine
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    return eng.suggest_terms("tabel", max_distance=2, k=5)
+
+
+SQL_TERM_SUGGEST = f"""
+WITH {_PAIRS_CTE},
+tstats AS (SELECT term, count(*) AS df FROM pairs GROUP BY term)
+SELECT term, levenshtein(term, 'tabel') AS dist, df
+FROM tstats
+WHERE length(term) BETWEEN 3 AND 7 AND levenshtein(term, 'tabel') <= 2
+ORDER BY dist, df DESC, term
+LIMIT 5
+"""
+
+
 HOT_TERM = "batch"  # df ≈ 0.8·N on the documents table at every SF
 
 
@@ -1424,6 +1469,8 @@ QUERIES = {
     "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
     "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
+    "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
+    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),

@@ -97,3 +97,24 @@ def test_split_identifiers_index_option(spark, code_docs, tmp_path_factory):
     a = spark.read.parquet(f"{out}/postings").orderBy("term", "salt").collect()
     b = spark.read.parquet(f"{out2}/postings").orderBy("term", "salt").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_facets_and_suggestions(spark, code_docs, tmp_path_factory):
+    """Facets: hit counts by a metadata column, cluster-side. Suggestions:
+    nearest dictionary terms by (edit distance, df desc, term)."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.oracle import Query
+
+    out = str(tmp_path_factory.mktemp("facetidx"))
+    docs = code_docs.withColumn("lang", F.when(F.col("doc_id") < 2, "py").otherwise("md"))
+    build_index(spark, docs, out, IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    got = {r["lang"]: r["n_docs"]
+           for r in eng.facets_df(Query.make(require=["self"]), ["lang"]).collect()}
+    assert got == {"py": 1}  # only doc 0 has 'self'
+    sug = eng.suggest_terms("slf", max_distance=1, k=3).collect()
+    assert [r["term"] for r in sug] == ["self"] and sug[0]["dist"] == 1
