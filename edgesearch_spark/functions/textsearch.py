@@ -232,3 +232,24 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     # part); the barrier alone keeps the verify off the corpus scan
     fetched = engine.fetch_docs_df(cands)
     return verify_on_candidates(fetched, cond).select("doc_id")
+
+
+def snippet_col(content_col: str, terms: list[str], radius: int = 30) -> Column:
+    """A display snippet around the FIRST occurrence of any query term
+    (earliest match across terms wins; the doc head when nothing matches) —
+    the hit-highlighting surface a result page needs, computed entirely in
+    JVM expressions over the fetched candidate rows (locate on the
+    lowercased content + substring), so it composes with fetch_docs_df at
+    any result cardinality and is oracle-able byte-for-byte."""
+    if not terms:
+        raise ValueError("no terms")
+    lc = F.lower(F.col(content_col))
+    # 0 = not found → +inf so it never wins min(); positions are 1-based
+    locs = [F.when(F.locate(t.lower(), lc) == 0, F.lit(2_147_483_647))
+             .otherwise(F.locate(t.lower(), lc)) for t in terms]
+    first = locs[0]
+    for l in locs[1:]:
+        first = F.least(first, l)
+    start = F.greatest(F.when(first == 2_147_483_647, F.lit(1))
+                        .otherwise(first - radius), F.lit(1))
+    return F.substring(F.col(content_col), start.cast("int"), 2 * radius)

@@ -1383,6 +1383,41 @@ LIMIT 5
 """
 
 
+def q_idx_snippets(spark, sf_dir):
+    """Hit highlighting: search + doc fetch + a JVM snippet window around
+    the earliest query-term occurrence — the full serving pipeline for a
+    result page, one distributed plan."""
+    from ..engine import SearchEngine
+    from ..functions.textsearch import snippet_col
+    from ..oracle import Query
+
+    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    hits = eng.search_df(Query.make(require=["stream", "column"]))
+    return eng.fetch_docs_df(hits).select(
+        "doc_id", snippet_col("content", ["stream", "column"], radius=30).alias("snippet"))
+
+
+SQL_IDX_SNIPPETS = f"""
+WITH {_PAIRS_CTE},
+cand AS (
+  SELECT doc_id FROM pairs WHERE term = 'stream'
+  INTERSECT
+  SELECT doc_id FROM pairs WHERE term = 'column'
+),
+loc AS (
+  SELECT doc_id, text,
+    least(
+      CASE WHEN strpos(lower(text), 'stream') = 0 THEN 2147483647 ELSE strpos(lower(text), 'stream') END,
+      CASE WHEN strpos(lower(text), 'column') = 0 THEN 2147483647 ELSE strpos(lower(text), 'column') END
+    ) AS l
+  FROM documents
+)
+SELECT doc_id,
+  substr(text, greatest(CASE WHEN l = 2147483647 THEN 1 ELSE l - 30 END, 1), 60) AS snippet
+FROM loc WHERE doc_id IN (SELECT doc_id FROM cand)
+"""
+
+
 HOT_TERM = "batch"  # df ≈ 0.8·N on the documents table at every SF
 
 
@@ -1471,6 +1506,7 @@ QUERIES = {
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
     "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
     "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
+    "idx_snippets": (q_idx_snippets, SQL_IDX_SNIPPETS),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
