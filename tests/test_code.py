@@ -118,3 +118,24 @@ def test_facets_and_suggestions(spark, code_docs, tmp_path_factory):
     assert got == {"py": 1}  # only doc 0 has 'self'
     sug = eng.suggest_terms("slf", max_distance=1, k=3).collect()
     assert [r["term"] for r in sug] == ["self"] and sug[0]["dist"] == 1
+
+
+def test_capacity_model_measures_real_index(spark, code_docs, tmp_path_factory):
+    """tools/capacity_model.py must read any built index and produce sane,
+    auditable constants (payload bits/posting matches the manifest; linear
+    projection doubles with target docs)."""
+    import sys
+
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    sys.path.insert(0, "tools")
+    from capacity_model import measure, project
+
+    out = str(tmp_path_factory.mktemp("capidx"))
+    build_index(spark, code_docs, out, IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    m = measure(out)
+    assert m["n_docs"] == 6 and m["total_postings"] > 0
+    assert 0 < m["bits_per_posting_payload"] < 64
+    rows1 = dict((r[0], r[1]) for r in project(m, 10**9, 10**6))
+    assert "driver norms cache" in rows1 and "lazy summaries @ df=1e+06" in rows1
