@@ -183,7 +183,8 @@ def main() -> None:
     contract_names = (
         "bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1",
         "dedup_minhash_lsh", "phrase_match", "idx_phrase_match",
-        "regex_search", "idx_regex_search",
+        "regex_search", "idx_regex_search", "idx_facet_lang",
+        "term_suggest", "idx_snippets",
     )
     for _trial in range(max(1, n_trials)):
         for name in contract_names:

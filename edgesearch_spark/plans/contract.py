@@ -1136,7 +1136,7 @@ def q_idx_phrase_match(spark, sf_dir):
     from ..functions.textsearch import phrase_col
     from ..oracle import Query
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     cands = eng.search_df(Query.make(require=["stream", "column"]))
     fetched = eng.fetch_docs_df(cands)
     # verify_on_candidates: without the barrier Catalyst pushes the phrase
@@ -1174,7 +1174,7 @@ def q_idx_regex_search(spark, sf_dir):
     from ..engine import SearchEngine
     from ..functions.textsearch import index_regex_search
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     return index_regex_search(eng, "merge[a-z ]{0,20}vector")
 
 
@@ -1287,6 +1287,21 @@ FROM (
 # ---------- index-backed entries (the compressed-index + kernel path) ----------
 
 _IDX_CACHE: dict[str, str] = {}
+_ENG_CACHE: dict[str, object] = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    """A process-cached default SearchEngine over _index_for's index: the
+    idx_* entries are called repeatedly (contract gate, bench trials) and
+    rebuilding the engine per call re-reads three parquet schemas + stats
+    for no semantic difference (the index dir is version-stamped and
+    immutable within a process)."""
+    from ..engine import SearchEngine
+
+    out = _index_for(spark, sf_dir)
+    if out not in _ENG_CACHE:
+        _ENG_CACHE[out] = SearchEngine(spark, out)
+    return _ENG_CACHE[out]
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1317,7 +1332,7 @@ def q_idx_bool_mixed(spark, sf_dir):
     from ..engine import SearchEngine
     from ..oracle import Query
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     r = eng.search(Query.make(require=REQ_TERMS, contain=CON_TERMS, exclude=EXC_TERMS, k=1_000_000))
     return spark.createDataFrame([(int(d),) for d in r.doc_ids] or [], "doc_id long")
 
@@ -1330,7 +1345,7 @@ def q_idx_bm25_topk(spark, sf_dir):
     from ..engine import SearchEngine
     from ..oracle import Query
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     r = eng.search_bm25(Query.make(contain=BM25_TERMS, k=20))
     rows = [(int(d), round(float(s), 4)) for d, s in zip(r.doc_ids, r.scores)]
     return spark.createDataFrame(rows or [], "doc_id long, score double")
@@ -1346,7 +1361,7 @@ def q_idx_facet_lang(spark, sf_dir):
     from ..engine import SearchEngine
     from ..oracle import Query
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     return eng.facets_df(Query.make(require=["table"], exclude=["vector"]), ["lang"])
 
 
@@ -1368,7 +1383,7 @@ def q_term_suggest(spark, sf_dir):
     evaluates."""
     from ..engine import SearchEngine
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     return eng.suggest_terms("tabel", max_distance=2, k=5)
 
 
@@ -1391,7 +1406,7 @@ def q_idx_snippets(spark, sf_dir):
     from ..functions.textsearch import snippet_col
     from ..oracle import Query
 
-    eng = SearchEngine(spark, _index_for(spark, sf_dir))
+    eng = _engine_for(spark, sf_dir)
     hits = eng.search_df(Query.make(require=["stream", "column"]))
     return eng.fetch_docs_df(hits).select(
         "doc_id", snippet_col("content", ["stream", "column"], radius=30).alias("snippet"))
