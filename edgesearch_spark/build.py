@@ -306,20 +306,25 @@ def build_index(
         # parallelism (measured: 6 of 32 cores busy in tokenize). The
         # explicit N is respected by AQE and guarantees n_part range-sorted
         # files.
+        # the docID invariant check rides the WRITE itself (Observation —
+        # aggregates computed as rows stream to parquet), so the store is
+        # never re-scanned just to validate: the engine's norms cache and
+        # positional docID semantics assume a DENSE 0..n-1 id space, and a
+        # user-supplied doc_id_col with gaps or duplicates would corrupt
+        # results silently. min/max are exact; distinctness is approximate
+        # (1% rsd — exact would be a shuffle).
+        from pyspark.sql import Observation
+
+        obs = Observation("docid_invariants")
         (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
+             .observe(obs,
+                      F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi"),
+                      F.approx_count_distinct("doc_id", 0.01).alias("nd"))
              .write.mode("overwrite").parquet(docs_path))
         if cache is not None:
             cache.unpersist()
-        # fold the docID invariant check into the post-write count: the
-        # engine's norms cache and positional docID semantics assume a DENSE
-        # 0..n-1 id space, and a user-supplied doc_id_col with gaps or
-        # duplicates would corrupt results silently. min/max are exact;
-        # distinctness is approximate (1% rsd — exact would be a shuffle).
-        chk = spark.read.parquet(docs_path).agg(
-            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-            F.approx_count_distinct("doc_id", 0.01).alias("nd"),
-        ).collect()[0]
+        chk = obs.get
         n_docs = int(chk["n"] or 0)
         if n_docs:
             # contiguous [lo, lo+n-1]: standalone builds start at 0, segment
