@@ -1132,7 +1132,6 @@ def q_idx_phrase_match(spark, sf_dir):
     candidate set cluster-side (no driver round-trip — a hot phrase like
     'import numpy' would push millions of candidates through the driver
     otherwise; VERDICT r3 'wrong #1')."""
-    from ..engine import SearchEngine
     from ..functions.textsearch import phrase_col
     from ..oracle import Query
 
@@ -1171,7 +1170,6 @@ def q_idx_regex_search(spark, sf_dir):
     rlike verifies candidates only — a selective pattern never scans the
     corpus (VERDICT r3 'missing #1': the scan-side regex_search twin is the
     one operator whose plan dies at 100×)."""
-    from ..engine import SearchEngine
     from ..functions.textsearch import index_regex_search
 
     eng = _engine_for(spark, sf_dir)
@@ -1329,7 +1327,6 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 def q_idx_bool_mixed(spark, sf_dir):
     """Same result set as bool_mixed, computed by the compressed-index numpy
     kernel (block-skipping AND/OR/ANDNOT) — proves index path ≡ SQL."""
-    from ..engine import SearchEngine
     from ..oracle import Query
 
     eng = _engine_for(spark, sf_dir)
@@ -1342,7 +1339,6 @@ SQL_IDX_BOOL_MIXED = SQL_BOOL_MIXED
 
 def q_idx_bm25_topk(spark, sf_dir):
     """Same ranking as bm25_topk, via the index kernel (block-max metadata)."""
-    from ..engine import SearchEngine
     from ..oracle import Query
 
     eng = _engine_for(spark, sf_dir)
@@ -1358,7 +1354,6 @@ def q_idx_facet_lang(spark, sf_dir):
     boolean query grouped by the docs-store `lang` column — search_df keeps
     the hit set cluster-side, the join prunes the store to (doc_id, lang),
     and the result is facet-cardinality-sized regardless of selectivity."""
-    from ..engine import SearchEngine
     from ..oracle import Query
 
     eng = _engine_for(spark, sf_dir)
@@ -1381,7 +1376,6 @@ def q_term_suggest(spark, sf_dir):
     levenshtein), best-first by (distance, df desc, term). The
     length-window filter prunes the dictionary scan before any levenshtein
     evaluates."""
-    from ..engine import SearchEngine
 
     eng = _engine_for(spark, sf_dir)
     return eng.suggest_terms("tabel", max_distance=2, k=5)
@@ -1402,7 +1396,6 @@ def q_idx_snippets(spark, sf_dir):
     """Hit highlighting: search + doc fetch + a JVM snippet window around
     the earliest query-term occurrence — the full serving pipeline for a
     result page, one distributed plan."""
-    from ..engine import SearchEngine
     from ..functions.textsearch import snippet_col
     from ..oracle import Query
 
