@@ -209,28 +209,38 @@ def main() -> None:
     query_p50 = statistics.median(lat)
     query_p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
 
-    print(
-        json.dumps(
-            {
-                "metric": "index_build_docs_per_sec",
-                "value": round(docs_per_sec, 2),
-                "unit": "docs/sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "detail": {
-                    "corpus_docs": n_corpus,
-                    "cores": cpus,
-                    "build_sec": round(build_sec, 2),
-                    "query_p50_sec": round(query_p50, 4),
-                    "query_p95_sec": round(query_p95, 4),
-                    "query_trials": n_trials,
-                    "query_spread": spread,
-                    "driver_maxrss_mb": driver_rss_mb,
-                    **_postings_stats(out),
-                },
-            }
-        )
-    )
+    # Compact summary on stdout (the driver tail-captures the LAST JSON line —
+    # BENCH_r04 failed to parse because the full spread detail outgrew the tail
+    # window); full spread/detail goes to BENCH/last_run.json.
+    summary = {
+        "metric": "index_build_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": {
+            "corpus_docs": n_corpus,
+            "cores": cpus,
+            "build_sec": round(build_sec, 2),
+            "query_p50_sec": round(query_p50, 4),
+            "query_p95_sec": round(query_p95, 4),
+            "query_trials": n_trials,
+            "driver_maxrss_mb": driver_rss_mb,
+            "full_detail": "BENCH/last_run.json",
+        },
+    }
+    full = dict(summary)
+    full["detail"] = {**summary["detail"], "query_spread": spread,
+                      **_postings_stats(out)}
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                    exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_run.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(summary))
     spark.stop()
 
 

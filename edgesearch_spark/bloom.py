@@ -162,6 +162,62 @@ class TermBloom:
         return not bool(np.all(bits[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)))
 
 
+def _open_sidecar(path: str):
+    """pyarrow dataset over a local OR remote (hdfs://, s3a://, ...) sidecar
+    dir; None when absent/empty or pyarrow has no driver for the scheme."""
+    import glob as _glob
+
+    import pyarrow.dataset as ds
+
+    if "://" not in path or path.startswith("file://"):
+        local = path[len("file://"):] if path.startswith("file://") else path
+        if not os.path.exists(local):
+            return None
+        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        return ds.dataset(files, format="parquet") if files else None
+    try:
+        from pyarrow import fs as pafs
+
+        # pyarrow speaks s3://, not Hadoop's s3a:// alias
+        uri = "s3://" + path[len("s3a://"):] if path.startswith("s3a://") else path
+        filesystem, rel = pafs.FileSystem.from_uri(uri)
+        infos = filesystem.get_file_info(pafs.FileSelector(rel, recursive=False))
+        files = sorted(i.path for i in infos
+                       if i.type == pafs.FileType.File and i.path.endswith(".parquet"))
+        if not files:
+            return None
+        return ds.dataset(files, format="parquet", filesystem=filesystem)
+    except Exception:
+        return None
+
+
+def _load_via_spark(spark, path: str, max_eager_rows: int,
+                    max_cached_rows: int) -> TermBloom | None:
+    """Sidecar via Spark's Hadoop filesystem — the fallback for remote dirs
+    pyarrow can't open. Costs Spark jobs (schema infer + collect), so the
+    local/pyarrow path stays the fast default."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        sdf = spark.read.parquet(path)
+        n_rows = sdf.count()
+    except AnalysisException:
+        return None
+    if n_rows == 0:
+        return None
+    if n_rows <= max_eager_rows:
+        return TermBloom([r.asDict() for r in sdf.collect()])
+    n_ranges = sdf.select("n_ranges").head()["n_ranges"]
+
+    def loader(rid: int):
+        rows = sdf.filter(F.col("range_id") == rid).select("bits").collect()
+        return bytes(rows[0]["bits"]) if rows else None
+
+    return TermBloom([], loader=loader, n_ranges=int(n_ranges),
+                     max_cached_rows=max_cached_rows)
+
+
 def load_term_bloom(spark: SparkSession, index_dir: str,
                     max_eager_rows: int = 4096,
                     max_cached_rows: int = 1024) -> TermBloom | None:
@@ -171,17 +227,16 @@ def load_term_bloom(spark: SparkSession, index_dir: str,
     (~384 MB of bits) load whole; bigger dictionaries get the per-range
     lazy LRU. None when the sidecar is absent (pre-bloom index) — callers
     fall back to the term_stats scan."""
-    import glob as _glob
-
     import pyarrow.dataset as ds
 
-    path = os.path.join(index_dir, "term_bloom")
-    if not os.path.exists(path):
-        return None
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-    if not files:
-        return None
-    dset = ds.dataset(files, format="parquet")
+    path = os.path.join(index_dir, "term_bloom") if "://" not in index_dir \
+        else index_dir.rstrip("/") + "/term_bloom"
+    dset = _open_sidecar(path)
+    if dset is None:
+        # non-local dir pyarrow can't reach (e.g. hdfs:// without libhdfs):
+        # keep the sidecar alive through Spark's own filesystem rather than
+        # silently dropping it and paying a term_stats scan per OOV term
+        return _load_via_spark(spark, path, max_eager_rows, max_cached_rows)
     n_rows = dset.count_rows()
     if n_rows <= max_eager_rows:
         tbl = dset.to_table()

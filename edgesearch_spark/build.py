@@ -388,6 +388,11 @@ def build_index(
             "max_query_terms": cfg.max_query_terms,
             "max_results": cfg.max_results,
             "split_identifiers": cfg.split_identifiers,
+            # a word_map rewrites tokens (ms -> microsoft), so the
+            # "every pattern literal survives inside some indexed term"
+            # invariant index_regex_search relies on does not hold —
+            # record its use so the engine can route regex to the scan
+            "word_map": bool(cfg.word_map),
         }
         tmp = os.path.join(out_dir, "stats.json.tmp")
         with open(tmp, "w") as f:

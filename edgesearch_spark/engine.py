@@ -32,6 +32,8 @@ worker). ``postings_for_terms``/``doc_fetch`` expose the distributed pieces.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,17 +96,22 @@ def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
 class TermPostings:
     lazy = False  # fully materialized on the driver (wand.py skips θ-bootstrap)
 
-    __slots__ = ("term", "df", "max_weight", "blocks", "_dec")
+    __slots__ = ("term", "df", "max_weight", "blocks", "_dec", "_on_decode")
 
-    def __init__(self, term: str, df: int, max_weight: float, blocks: PostingBlocks):
+    def __init__(self, term: str, df: int, max_weight: float, blocks: PostingBlocks,
+                 on_decode=None):
         self.term, self.df, self.max_weight, self.blocks = term, df, max_weight, blocks
         # decode-once memo (docs, tfs): a query touches the same list many
         # times (boolean kernel, WAND seeding, exact rescoring) and the
         # repeated decode_all was the measured kernel hotspot (~0.05 s per
-        # decode of a df≈500k list, up to 7 decodes per mixed query). The
-        # memo is bounded: eager terms hold ≤ lazy_min_df postings by
-        # construction (hotter terms are LazyTermPostings), so ≤ 16 MB/term.
+        # decode of a df≈500k list, up to 7 decodes per mixed query). Per
+        # term the memo is ≤ 16 MB (eager terms hold ≤ lazy_min_df postings;
+        # hotter terms are LazyTermPostings); ACROSS terms the owning engine
+        # bounds live memos with an LRU via ``on_decode`` — only the
+        # compressed blocks stay cached for evicted terms, so a long-running
+        # serving process doesn't grow driver RSS with every distinct term.
         self._dec: tuple[np.ndarray, np.ndarray] | None = None
+        self._on_decode = on_decode
 
     # ---- kernel interface (shared with LazyTermPostings) ----
     @property
@@ -114,6 +121,8 @@ class TermPostings:
     def _decoded(self) -> tuple[np.ndarray, np.ndarray]:
         if self._dec is None:
             self._dec = decode_all(self.blocks)
+            if self._on_decode is not None:
+                self._on_decode(self)
         return self._dec
 
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -439,6 +448,9 @@ class SearchEngine:
     # payload bytes the single-hot-term union-total probe may pull to the
     # driver before it switches to the distributed distinct-count
     union_probe_budget_bytes: int = 32 << 20
+    # terms allowed to hold a live decode memo at once (LRU; ≤16 MB each ⇒
+    # ~1 GB decoded ceiling). Class attr so MultiSegmentEngine inherits.
+    max_decoded_terms: int = 64
     last_route: str = "kernel"  # diagnostics: "kernel" | "distributed"
     # True ⇒ stored block-max WEIGHTS are stale (baked under a different
     # avgdl than the live one — multi-segment, pre-compact) and every
@@ -467,6 +479,12 @@ class SearchEngine:
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
         self._init_meta_cols()
         self._cache: dict[str, TermPostings | LazyTermPostings | None] = {}
+        # LRU of terms currently holding a live decode memo (~16 B/posting
+        # of int64 docs+tfs). Eviction drops only the memo — the compressed
+        # blocks stay in _cache — so the decoded footprint is bounded at
+        # ~max_decoded_terms × 16 MB instead of growing with every distinct
+        # term a long-lived serving process ever scores.
+        self._dec_lru: "OrderedDict[str, TermPostings]" = OrderedDict()
         self._df_cache: dict[str, int | None] = {}
         self._dict_complete = False  # warm() may load the whole term dict
         self._doclens: np.ndarray | None = None
@@ -490,6 +508,18 @@ class SearchEngine:
             self._df_cache.update(dfs)
             self._dict_complete = True
         return self
+
+    def _note_decoded(self, tp: TermPostings) -> None:
+        """Register a freshly-decoded term in the memo LRU; evict the
+        oldest memos past ``max_decoded_terms`` (the compressed blocks
+        remain cached — only the 16 B/posting decode is dropped)."""
+        lru = self._dec_lru
+        lru[tp.term] = tp
+        lru.move_to_end(tp.term)
+        while len(lru) > max(1, self.max_decoded_terms):
+            _, old = lru.popitem(last=False)
+            if old is not tp:
+                old._dec = None
 
     # ---- doc-length norms cache (Lucene-norms analogue) ----
     @property
@@ -618,6 +648,7 @@ class SearchEngine:
                         int(sum(r["df"] for r in shards)),
                         float(pb.max_weight.max()) if pb.n_blocks else 0.0,
                         pb,
+                        on_decode=self._note_decoded,
                     )
             if hot:
                 # level-1 summary scan: ONE aggregated row per (term, salt)

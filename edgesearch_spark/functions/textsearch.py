@@ -192,8 +192,25 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     (≤ max_literals · max_terms_per_literal, ~1 MB — metadata scale, not
     docs). A literal matching NO term proves 0 matches without touching a
     single doc. No usable literal at all (e.g. top-level alternation) falls
-    back to the scan-side regex_search."""
-    lits = required_literals(pattern)
+    back to the scan-side regex_search.
+
+    Soundness guard: the expansion step assumes every maximal-alphanumeric
+    run of a matching doc survives verbatim inside one indexed term. Indexes
+    built with ``split_identifiers=True`` insert subtoken boundaries
+    ('utf8' -> utf|8) and ``word_map`` rewrites tokens ('ms' -> microsoft),
+    so a literal can span a boundary / be rewritten and exist in NO term —
+    the "no term contains literal => 0 matches" shortcut would then silently
+    drop real matches. Those indexes route straight to the scan."""
+    st = getattr(engine, "stats", {}) or {}
+    if st.get("split_identifiers") or st.get("word_map"):
+        return regex_search(engine._docs_df, pattern, content_col=content_col)
+    # a literal longer than MAX_TERM_BYTES cannot be a substring of any
+    # indexed term even when the doc matches (over-long tokens are dropped
+    # from the dictionary) — expanding it would be unsound, so ignore it
+    from ..tokenizer import MAX_TERM_BYTES
+
+    lits = [l for l in required_literals(pattern)
+            if len(l.encode("utf-8")) <= MAX_TERM_BYTES]
     groups: list[list[str]] = []
     spark = engine.spark
     for lit in lits:

@@ -1464,7 +1464,28 @@ LIMIT 20
 
 # ---------- registry ----------
 
+# Ordering contract: the driver's oracle gate evaluates the FIRST 50 entries in
+# dict order.  Newest / riskiest operators go first; long-stable entries whose
+# Spark plan is a literal SQL twin (set ops, pivots, plain aggregations) sit at
+# the tail where a driver cap costs the least signal.  VERDICT r4 "Next round" #2.
 QUERIES = {
+    # --- newest index-engine surfaces (r4/r5) ---
+    "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
+    "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
+    "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
+    "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
+    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
+    "idx_snippets": (q_idx_snippets, SQL_IDX_SNIPPETS),
+    "code_token_stats": (q_code_token_stats, SQL_CODE_TOKEN_STATS),
+    "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
+    "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
+    "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
+    # --- streaming ---
+    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
+    "stream_windowed_stats": (q_stream_windowed_stats, SQL_STREAM_WINDOWED_STATS),
+    # --- engine building blocks + query semantics ---
     "tokenize_pairs": (q_tokenize_pairs, SQL_TOKENIZE_PAIRS),
     "term_df": (q_term_df, SQL_TERM_DF),
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
@@ -1478,7 +1499,7 @@ QUERIES = {
     "doc_fetch": (q_doc_fetch, SQL_DOC_FETCH),
     "field_prefixed_df": (q_field_prefixed_df, SQL_FIELD_PREFIXED_DF),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
+    # --- LLM-pipeline: dedup / similarity / text ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_shingle_jaccard": (q_dedup_shingle_jaccard, SQL_DEDUP_SHINGLE_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
@@ -1495,29 +1516,17 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "code_token_stats": (q_code_token_stats, SQL_CODE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "pipeline_quality_dedup": (q_pipeline_quality_dedup, SQL_PIPELINE_QUALITY_DEDUP),
+    # --- long-stable SQL-twin analytics (tail: may fall outside the driver cap) ---
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "pivot_qty": (q_pivot_qty, SQL_PIVOT_QTY),
     "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
-    "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
-    "stream_windowed_stats": (q_stream_windowed_stats, SQL_STREAM_WINDOWED_STATS),
-    "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
-    "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
-    "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
-    "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
-    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
-    "idx_snippets": (q_idx_snippets, SQL_IDX_SNIPPETS),
-    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
-    "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
-    "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
-    "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
-    "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
 }

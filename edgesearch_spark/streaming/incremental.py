@@ -287,6 +287,8 @@ class MultiSegmentEngine(SearchEngine):
             abs(st - self.avgdl) < 1e-9 for st in self._segment_avgdls)
         self._tf_bounds = (not self._fresh_avgdl) and self._has_max_tf
         self._cache = {}
+        from collections import OrderedDict
+        self._dec_lru = OrderedDict()
         self._df_cache = {}
         self._dict_complete = False
         self._doclens = None

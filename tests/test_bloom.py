@@ -137,3 +137,25 @@ def test_lazy_lru_load_per_range(spark, index_dir, tmp_path_factory):
     for t in probes:
         assert tight.definitely_absent(t) == eager.definitely_absent(t), t
         assert len(tight._bits) <= 1
+
+
+def test_spark_fallback_loader_matches_pyarrow(spark, index_dir):
+    """ADVICE r4 (low): a remote index dir (hdfs://, s3a://) must keep the
+    sidecar through Spark's filesystem when pyarrow has no driver for the
+    scheme. Exercise _load_via_spark directly on the same sidecar and
+    assert probe-for-probe agreement with the pyarrow path, in both eager
+    and lazy modes."""
+    import os
+
+    from edgesearch_spark.bloom import _load_via_spark
+
+    path = os.path.join(index_dir, "term_bloom")
+    fast = load_term_bloom(spark, index_dir)
+    slow = _load_via_spark(spark, path, max_eager_rows=4096, max_cached_rows=8)
+    lazy = _load_via_spark(spark, path, max_eager_rows=0, max_cached_rows=8)
+    assert slow is not None and lazy is not None
+    probes = [f"alpha{i}" for i in range(60)] + ["common", "zzz_never", "qq_nope"]
+    for t in probes:
+        assert slow.definitely_absent(t) == fast.definitely_absent(t), t
+        assert lazy.definitely_absent(t) == fast.definitely_absent(t), t
+    assert lazy.rows_fetched > 0  # the lazy loader really went through Spark

@@ -211,3 +211,50 @@ def test_verify_stays_above_candidates_join(spark, regex_index):
     assert got == sorted(r["doc_id"] for r in phrase_search(
         regex_index._docs_df.withColumnRenamed("content", "content"), "spark sql",
         content_col="content").collect())
+
+
+def test_index_regex_unsound_index_routes_to_scan(spark, tmp_path_factory):
+    """ADVICE r4 (high): split_identifiers inserts subtoken boundaries
+    ('utf8' -> utf|8) so the literal 'utf8' exists in NO indexed term — the
+    "no term contains literal => proven 0 matches" shortcut would silently
+    drop doc 0. Such indexes must route regex to the scan path. Same for
+    word_map-normalized indexes ('ms' -> microsoft rewrites tokens)."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_regex_search
+
+    rows = [(0, "decode utf8 bytes fast"), (1, "plain ascii text"),
+            (2, "the msdn docs page")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+
+    out = str(tmp_path_factory.mktemp("splitidx"))
+    build_index(spark, docs, out, IndexConfig(split_identifiers=True),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    assert eng.stats["split_identifiers"] is True
+    got = sorted(r["doc_id"] for r in
+                 index_regex_search(eng, r"utf8 byte\w*").collect())
+    assert got == [0]  # scan fallback keeps the match the shortcut would lose
+
+    out2 = str(tmp_path_factory.mktemp("wmapidx"))
+    build_index(spark, docs, out2,
+                IndexConfig(word_map={"msdn": "microsoft"}, postings_impl="pack"),
+                doc_id_col="doc_id", content_col="content")
+    eng2 = SearchEngine(spark, out2)
+    assert eng2.stats["word_map"] is True
+    got2 = sorted(r["doc_id"] for r in
+                  index_regex_search(eng2, r"msdn doc\w*").collect())
+    assert got2 == [2]
+
+
+def test_index_regex_overlong_literal_ignored(spark, docs, regex_index):
+    """A required literal longer than MAX_TERM_BYTES can't live in any
+    indexed term even for a matching doc (over-long tokens are dropped at
+    build) — it must be skipped, not treated as proof of emptiness."""
+    from edgesearch_spark.functions.textsearch import index_regex_search
+
+    long_lit = "a" * 300
+    # no doc matches, but the PATH must be the sound one: with the over-long
+    # literal ignored and 'vector' expanded, result == scan result (empty)
+    got = index_regex_search(regex_index, long_lit + r" vector").count()
+    assert got == 0

@@ -113,3 +113,35 @@ def test_wand_skip_total_mode(engine):
     exact = engine.search_bm25_wand(q, exact_total=True)
     assert fast.total == -1
     assert list(fast.doc_ids) == list(exact.doc_ids)
+
+
+def test_decode_memo_lru_bounded(engine):
+    """ADVICE r4 (low): the decode-once memo must not accumulate a live
+    (docs, tfs) int64 pair for every distinct term ever scored. With
+    max_decoded_terms=2, querying many distinct terms keeps ≤2 live memos;
+    evicted terms keep their compressed blocks (still served correctly)."""
+    from edgesearch_spark.engine import TermPostings
+
+    old = engine.max_decoded_terms
+    engine.max_decoded_terms = 2
+    engine._cache.clear()
+    engine._dec_lru.clear()
+    try:
+        terms = ["import", "return", "license", "data", "value", "error"]
+        for t in terms:
+            engine.search_bm25(Query.make(contain=[t], k=5))
+        live = [tp for tp in engine._cache.values()
+                if isinstance(tp, TermPostings) and tp._dec is not None]
+        assert len(live) <= 2
+        assert len(engine._dec_lru) <= 2
+        # an evicted term still answers identically (re-decodes on demand)
+        r1 = engine.search_bm25(Query.make(contain=["import"], k=5))
+        engine.max_decoded_terms = 10_000
+        engine._cache.clear()
+        engine._dec_lru.clear()
+        r2 = engine.search_bm25(Query.make(contain=["import"], k=5))
+        assert r1.doc_ids == r2.doc_ids and r1.scores == r2.scores
+    finally:
+        engine.max_decoded_terms = old
+        engine._cache.clear()
+        engine._dec_lru.clear()
