@@ -42,6 +42,15 @@ from .build import idf_value, load_stats
 from .codec import PostingBlocks, concat_blocks, decode_all, decode_block
 from .oracle import Query, QueryTooLarge, SearchResult
 
+# Stored block/shard max weights are float32 while exact scores are float64:
+# round-to-nearest can put the stored bound up to 0.5 ulp BELOW the true
+# maximum score (relative ~6e-8), so a pruning bound compared ≥ θ without
+# slack could drop a doc that ties or infinitesimally beats θ (observable on
+# uniform corpora where θ lands exactly on the top bound). One float32 ulp of
+# inflation (2^-23 ≈ 1.2e-7) restores a true upper bound; real skip margins
+# are orders of magnitude larger, so pruning power is unaffected.
+F32_BOUND_SLACK = 1.0 + 2.0**-23
+
 
 def _row_to_blocks(row) -> PostingBlocks:
     mtf = (row["block_max_tf"]
@@ -164,7 +173,8 @@ class TermPostings:
     def seed_docs(self, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
         """Doc IDs of this term, decoding only blocks whose bound
         idf_k·block_max_weight + bound_if_new can reach θ for an unseen doc."""
-        keep = (idf_k * self.blocks.max_weight.astype(np.float64) + bound_if_new) >= theta
+        keep = (idf_k * self.blocks.max_weight.astype(np.float64) * F32_BOUND_SLACK
+                + bound_if_new) >= theta
         skipped = int((~keep).sum())
         if not keep.any():
             return np.empty(0, np.int64), skipped
@@ -388,7 +398,7 @@ class LazyTermPostings:
 
     # ---- WAND seeding protocol (two-level: shard skip, then block skip) ----
     def seed_docs(self, bound_if_new: float, theta: float, idf_k: float) -> tuple[np.ndarray, int]:
-        keep_shard = (idf_k * self._smw + bound_if_new) >= theta
+        keep_shard = (idf_k * self._smw * F32_BOUND_SLACK + bound_if_new) >= theta
         skipped = int(self._snblocks[~keep_shard].sum())
         if not keep_shard.any():
             return np.empty(0, np.int64), skipped
@@ -399,7 +409,8 @@ class LazyTermPostings:
         blocks_per_shard: dict[int, np.ndarray] = {}
         for s in cand:
             m = self._meta[int(s)]
-            keep_blk = (idf_k * m["max_weight"].astype(np.float64) + bound_if_new) >= theta
+            keep_blk = (idf_k * m["max_weight"].astype(np.float64) * F32_BOUND_SLACK
+                        + bound_if_new) >= theta
             skipped += int((~keep_blk).sum())
             if keep_blk.any():
                 fetch.append(int(s))
@@ -1065,6 +1076,18 @@ class SearchEngine:
         cont = None if (total >= 0 and last == total - 1) or ranked_docs.size < q.k else last + 1
         return SearchResult(total, cont, ranked_docs.tolist(), ranked_scores.tolist())
 
+    def _live_docs_filter(self):
+        """Hook: fn(docs)->docs dropping non-visible docs, or None when all
+        docs are live. The base engine has no deletes; MultiSegmentEngine
+        returns its tombstone mask so the pruned WAND kernel keeps
+        block-skipping on a live index (VERDICT r4 #1)."""
+        return None
+
+    def _union_total_live(self, present: list) -> int:
+        """Hook: exact |∪ postings ∩ live docs| — equals _union_total when
+        nothing is deleted."""
+        return self._union_total(present)
+
     def _union_total(self, present: list) -> int:
         """Exact |∪ postings| from block METADATA where possible: a block
         whose [first,max] docID range intersects no other term's blocks holds
@@ -1187,7 +1210,13 @@ class SearchEngine:
             present = [p for p in tp.values() if p is not None]
             if not present:
                 return self._default_results(q)
-            total = self._union_total(present) if exact_total else -1
+            # live-docs hooks (MultiSegmentEngine tombstones): the filter
+            # drops deleted docs BEFORE they are scored or can set θ
+            # (wand.absorb applies it ahead of the θ update), so block
+            # skipping stays rank-safe — deletes only shrink the candidate
+            # pool, never raise any bound
+            candidate_filter = self._live_docs_filter()
+            total = self._union_total_live(present) if exact_total else -1
         res = wand_topk(
             [(self.idf(p.df), p) for p in present],
             k_eff,

@@ -427,6 +427,36 @@ class MultiSegmentEngine(SearchEngine):
             return out
         return out.join(self._tombstones_df(), "doc_id", "left_anti")
 
+    def _live_docs_filter(self):
+        # pruned-kernel live-docs mask (Lucene LiveDocs-in-WAND analogue):
+        # wand.absorb applies this BEFORE scoring and before any θ update,
+        # so a deleted doc can neither appear in the page nor inflate θ —
+        # and since deletes only REMOVE candidates, every block-max bound
+        # stays a valid upper bound and skipping remains rank-safe
+        if not self._deleted.size:
+            return None
+
+        def live(docs):
+            return docs[self._not_deleted_mask(docs)]
+
+        return live
+
+    def _union_total_live(self, present):
+        total = self._union_total(present)
+        if not self._deleted.size:
+            return total
+        # |union ∩ tombstones| via per-term membership probes of the (small,
+        # budget-bounded) delete set: lookup_tfs block-skips, so this costs
+        # O(|tombstones| log) per term, never a union decode
+        import numpy as np
+
+        dead_in_union = np.zeros(self._deleted.size, dtype=bool)
+        for p in present:
+            dead_in_union |= p.lookup_tfs(self._deleted) > 0
+            if dead_in_union.all():
+                break
+        return total - int(dead_in_union.sum())
+
     def search_bm25_wand(self, q, exact_total: bool = True):
         """The pruned kernel runs whenever its bounds are safe:
 
@@ -440,9 +470,12 @@ class MultiSegmentEngine(SearchEngine):
             stored maxima would UNDERESTIMATE true bounds when the union
             avgdl exceeds a segment's and could silently prune top-k docs.
 
-        Tombstones always delegate: the union-total metadata algebra and
-        contain-only seeding don't know about live-docs, while the
-        exhaustive path filters through _bool_kernel."""
-        if self._has_deletes or (not self._fresh_avgdl and not self._tf_bounds):
+        Driver-side tombstones stay ON the pruned kernel: mixed-mode
+        candidates come from the (delete-filtered) _bool_kernel, contain-only
+        seeding threads _live_docs_filter through wand.absorb, and the exact
+        total subtracts |union ∩ tombstones| (_union_total_live). Only
+        distributed tombstones (_tomb_df — the kernel cannot see the delete
+        set) delegate; their clause-ful queries route distributed anyway."""
+        if self._tomb_df is not None or (not self._fresh_avgdl and not self._tf_bounds):
             return self.search_bm25(q)
         return super().search_bm25_wand(q, exact_total=exact_total)

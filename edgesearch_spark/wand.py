@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .engine import TermPostings
+from .engine import F32_BOUND_SLACK, TermPostings
 
 
 @dataclass
@@ -49,7 +49,7 @@ def wand_topk(
     if not terms or k <= 0:
         return WandResult(np.empty(0, np.int64), np.empty(0, np.float64), 0, 0)
     def upper(idf: float, tp: TermPostings) -> float:
-        return idf * (k1 + 1) * float(tp.max_weight)
+        return idf * (k1 + 1) * float(tp.max_weight) * F32_BOUND_SLACK
 
     order = sorted(range(len(terms)), key=lambda i: -upper(*terms[i]))
     idfs = [terms[i][0] for i in order]
