@@ -123,7 +123,24 @@ class IncrementalIndexer:
     # (deleted docs affect docFreq until segments merge).
     @property
     def _tombstone_dir(self) -> str:
-        return os.path.join(self.root, "_tombstones")
+        """Tombstone dir of the CURRENT compaction generation. Scoping the
+        dir by generation makes the manifest swap atomic for deletes too: a
+        compaction publishes gen g+1 (whose tombstone dir starts empty —
+        the merge purged them) in the same os.replace that publishes the
+        merged segment, so a crash anywhere leaves either the old view
+        (segments + its tombstones) or the new one (no tombstones), never
+        stale tombstones applied to remapped docIDs."""
+        gen = int(self.manifest().get("compaction_gen", 0))
+        name = "_tombstones" if gen == 0 else f"_tombstones_g{gen:06d}"
+        return os.path.join(self.root, name)
+
+    def _tombstone_files(self) -> list[str]:
+        import glob as _glob
+
+        d = self._tombstone_dir
+        if not os.path.exists(d):
+            return []
+        return sorted(_glob.glob(os.path.join(d, "*.parquet")))
 
     def delete_docs(self, doc_ids) -> None:
         """Mark docIDs deleted (list[int] or a DataFrame with doc_id).
@@ -142,18 +159,24 @@ class IncrementalIndexer:
             for r in self.spark.read.parquet(self._tombstone_dir).distinct().collect()
         )
 
-    def compact(self, out_dir: str) -> str:
+    def compact(self, out_dir: str, tombstone_files: list[str] | None = None) -> str:
         """Merge all segments into one fresh index (rebuilds block-max
         metadata under the global avgdl, re-enabling the WAND kernel).
         Tombstoned docs are dropped for good and the surviving docs get a
         fresh dense docID space (ordered by old docID, so relative order —
-        and therefore default-results order — is preserved)."""
+        and therefore default-results order — is preserved).
+
+        ``tombstone_files`` pins the exact parquet files to apply (the
+        in-place compaction passes its snapshot so concurrent delete_docs
+        appends can't half-apply)."""
         segs = self.segment_dirs()
         docs = self.spark.read.parquet(*[f"{s}/docs" for s in segs])
-        if os.path.exists(self._tombstone_dir):
+        if tombstone_files is None:
+            tombstone_files = self._tombstone_files()
+        if tombstone_files:
             # tombstones never visit the driver here either: anti-join the
             # parquet set directly (AQE broadcasts it when small)
-            tomb = self.spark.read.parquet(self._tombstone_dir).distinct()
+            tomb = self.spark.read.parquet(*tombstone_files).distinct()
             docs = (
                 docs.join(tomb, "doc_id", "left_anti")
                 .withColumnRenamed("doc_id", "__old_id")
@@ -169,7 +192,7 @@ class IncrementalIndexer:
         )
         return out_dir
 
-    def compact_in_place(self) -> str:
+    def compact_in_place(self) -> str | None:
         """The Lucene merge, applied to THIS index: merge every segment
         (minus tombstoned docs) into one fresh segment inside the root and
         swap the manifest — afterwards queries serve from a single segment
@@ -177,28 +200,54 @@ class IncrementalIndexer:
         tombstone set is empty, and old segment dirs are deleted.
 
         Crash-safe ordering: the new segment is built completely first,
-        then the manifest swap (os.replace — atomic) publishes it, then old
-        dirs + tombstones are removed. A crash at any point leaves a
-        readable index: either the old multi-segment view or the new
-        single-segment one."""
+        then the manifest swap (os.replace — atomic) publishes it — which
+        also bumps the tombstone GENERATION, so the purged tombstones
+        vanish in the same atomic step — then old dirs are garbage-
+        collected. A crash at any point leaves a readable index: either the
+        old multi-segment view (with its tombstones) or the new
+        single-segment one (with none).
+
+        Concurrent-writer safety (ADVICE r4 medium): the segment list and
+        the tombstone file set are snapshotted up front and re-checked
+        right before the swap. An ingest_batch that committed a segment
+        meanwhile (its docIDs start at the OLD next_doc_id — they'd leave a
+        hole in the compacted id space) or a delete_docs append (its old
+        docIDs were just remapped) ABORTS the compaction: the merged
+        segment is discarded, the live index is untouched, and the caller
+        can retry. Returns None on abort. The remaining check→swap window
+        is milliseconds, not the build's minutes; true multi-process
+        writers still need external coordination (single compactor)."""
         import shutil
+        import warnings
 
         man = self.manifest()
         if not man["segments"]:
             return self.root
+        old = list(man["segments"])
+        tomb_files = self._tombstone_files()
+        old_tomb_dir = self._tombstone_dir
         gen = int(man.get("compaction_gen", 0)) + 1
         seg_name = f"seg_compacted_{gen:06d}"
         seg_dir = os.path.join(self.root, seg_name)
-        self.compact(seg_dir)
+        self.compact(seg_dir, tombstone_files=tomb_files)
         with open(os.path.join(seg_dir, "stats.json")) as f:
             n_docs = json.load(f)["n_docs"]
-        old = man["segments"]
+        man2 = self.manifest()
+        if list(man2["segments"]) != old or self._tombstone_files() != tomb_files:
+            warnings.warn(
+                "compact_in_place aborted: segments or tombstones changed "
+                "during the merge (concurrent ingest_batch/delete_docs); "
+                "the live index is untouched — retry compaction",
+                RuntimeWarning,
+            )
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            return None
         self._commit({"segments": [seg_name], "next_doc_id": n_docs,
                       "compaction_gen": gen})
         for s in old:
             if s != seg_name:
                 shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
-        shutil.rmtree(self._tombstone_dir, ignore_errors=True)
+        shutil.rmtree(old_tomb_dir, ignore_errors=True)
         return seg_dir
 
     def maybe_compact(self, max_segments: int = 8,

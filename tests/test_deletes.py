@@ -265,3 +265,63 @@ def test_wand_keeps_block_skipping_under_deletes(spark, tmp_path_factory):
     assert res.blocks_skipped > 0, res
     assert list(res.doc_ids) == list(e.doc_ids)
     assert not np.isin(res.doc_ids, victims).any()
+
+
+def test_compact_in_place_aborts_on_concurrent_writers(spark, tmp_path_factory):
+    """ADVICE r4 (medium): delete_docs or ingest_batch landing while
+    compact() builds must not be wiped/orphaned by the manifest swap. The
+    compaction snapshots the segment list + tombstone file set, re-checks
+    before committing, and ABORTS (returning None, live index untouched)
+    when either changed; a retry with no concurrent writer succeeds."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("race"))
+    idx = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    for epoch in range(2):
+        rows = [(f"p{epoch}_{i:03d}", f"target common fill{epoch}_{i}") for i in range(60)]
+        idx.ingest_batch(spark.createDataFrame(rows, "path string, content string"), epoch)
+    idx.delete_docs([3, 70])
+
+    # --- concurrent DELETE during the merge ---
+    orig_compact = idx.compact
+
+    def compact_then_delete(out_dir, tombstone_files=None):
+        r = orig_compact(out_dir, tombstone_files=tombstone_files)
+        idx.delete_docs([10])  # lands after the snapshot, before the swap
+        return r
+
+    idx.compact = compact_then_delete
+    with pytest.warns(RuntimeWarning, match="aborted"):
+        assert idx.compact_in_place() is None
+    idx.compact = orig_compact
+    man = idx.manifest()
+    assert len(man["segments"]) == 2 and man["next_doc_id"] == 120  # untouched
+    eng = idx.engine()
+    assert eng._deleted.size == 3  # ALL deletes survive, incl. the racing one
+    assert 10 not in eng.search(Query.make(contain=["target"], k=500)).doc_ids
+
+    # --- concurrent INGEST during the merge ---
+    def compact_then_ingest(out_dir, tombstone_files=None):
+        r = orig_compact(out_dir, tombstone_files=tombstone_files)
+        idx.ingest_batch(spark.createDataFrame(
+            [("racer", "target racerdoc")], "path string, content string"), 55)
+        return r
+
+    idx.compact = compact_then_ingest
+    with pytest.warns(RuntimeWarning, match="aborted"):
+        assert idx.compact_in_place() is None
+    idx.compact = orig_compact
+    man = idx.manifest()
+    assert len(man["segments"]) == 3 and man["next_doc_id"] == 121  # racer kept
+    assert idx.engine().search(Query.make(require=["racerdoc"])).total == 1
+
+    # --- quiet retry succeeds and applies every delete exactly once ---
+    seg = idx.compact_in_place()
+    assert seg is not None
+    man = idx.manifest()
+    assert len(man["segments"]) == 1
+    assert man["next_doc_id"] == 121 - 3
+    assert not os.path.exists(idx._tombstone_dir)  # new generation: empty
+    eng = idx.engine()
+    assert eng.n_docs == 118
+    assert eng.search(Query.make(require=["racerdoc"])).total == 1
