@@ -32,6 +32,7 @@ worker). ``postings_for_terms``/``doc_fetch`` expose the distributed pieces.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -100,6 +101,72 @@ def lookup_tfs(pb: PostingBlocks, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.flatnonzero(sel)[hit]
         out[idx] = tfs[pos[hit]]
     return out
+
+
+class NormsCache:
+    """docID-range-paged doc-length norms with a bounded LRU — the norms
+    twin of the two-level lazy postings fetch (VERDICT r4 #4).
+
+    The eager norms array is the serving-node ceiling at extreme scale
+    (int32 × n_docs = 4 GB at 10^9 docs); a kernel query only ever norms
+    its CANDIDATE docs, which cluster in few docID ranges. Pages load on
+    demand via driver-local pyarrow (zero Spark jobs — the doclens parquet
+    is docID-ordered, so range filters prune row groups), and the LRU
+    bounds residency at max_pages × page_docs × 4 bytes.
+
+    Supports exactly the kernel's access pattern: ``norms[np.ndarray]``
+    fancy indexing, returning int32 (score arithmetic promotes to float64
+    identically to the eager array). ``pages_fetched`` is test-asserted."""
+
+    def __init__(self, doclens_dirs: list[str], n_docs: int,
+                 page_docs: int = 1 << 22, max_pages: int = 64):
+        import glob as _glob
+
+        import pyarrow.dataset as ds
+
+        files: list[str] = []
+        for d in doclens_dirs:
+            files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+        self._dset = ds.dataset(files, format="parquet")
+        self._ds = ds
+        self.n_docs = int(n_docs)
+        self.page_docs = int(page_docs)
+        self.max_pages = max(1, int(max_pages))
+        self._pages: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.pages_fetched = 0
+
+    def _page(self, pid: int) -> np.ndarray:
+        pages = self._pages
+        if pid in pages:
+            pages.move_to_end(pid)
+            return pages[pid]
+        lo = pid * self.page_docs
+        hi = min(lo + self.page_docs, self.n_docs)
+        tbl = self._dset.to_table(
+            filter=(self._ds.field("doc_id") >= lo) & (self._ds.field("doc_id") < hi))
+        page = np.zeros(hi - lo, dtype=np.int32)
+        if tbl.num_rows:
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            page[ids - lo] = tbl["dl"].to_numpy(zero_copy_only=False)
+        self.pages_fetched += 1
+        pages[pid] = page
+        while len(pages) > self.max_pages:
+            pages.popitem(last=False)
+        return page
+
+    def __getitem__(self, docs: np.ndarray) -> np.ndarray:
+        docs = np.asarray(docs, dtype=np.int64)
+        out = np.zeros(docs.shape, dtype=np.int32)
+        if docs.size == 0:
+            return out
+        pids = docs // self.page_docs
+        for pid in np.unique(pids):
+            sel = pids == pid
+            out[sel] = self._page(int(pid))[docs[sel] - int(pid) * self.page_docs]
+        return out
+
+    def __len__(self) -> int:
+        return self.n_docs
 
 
 class TermPostings:
@@ -462,6 +529,12 @@ class SearchEngine:
     # terms allowed to hold a live decode memo at once (LRU; ≤16 MB each ⇒
     # ~1 GB decoded ceiling). Class attr so MultiSegmentEngine inherits.
     max_decoded_terms: int = 64
+    # norms posture: corpora up to this many docs load the full int32 array
+    # (64 MB at the default); bigger ones page norms by docID range with an
+    # LRU (NormsCache) — max_pages × page_docs × 4 B resident (1 GB default)
+    norms_eager_max_docs: int = 1 << 24
+    norms_page_docs: int = 1 << 22
+    norms_max_pages: int = 64
     last_route: str = "kernel"  # diagnostics: "kernel" | "distributed"
     # True ⇒ stored block-max WEIGHTS are stale (baked under a different
     # avgdl than the live one — multi-segment, pre-compact) and every
@@ -533,16 +606,28 @@ class SearchEngine:
                 old._dec = None
 
     # ---- doc-length norms cache (Lucene-norms analogue) ----
+    def _doclens_dirs(self) -> list[str]:
+        return [f"{self.index_dir}/doclens"]
+
     @property
-    def doclens(self) -> np.ndarray:
+    def doclens(self) -> "np.ndarray | NormsCache":
+        """int32 norms, indexable by a docID array. Small corpora load the
+        whole array once (int32 halves it vs int64; score arithmetic
+        promotes to float64 identically from either width); above
+        norms_eager_max_docs the norms page in by docID range with an LRU
+        (NormsCache) so the kernel's driver footprint is O(hot ranges),
+        not O(n_docs) — the 10^9+-doc serving posture."""
         if self._doclens is None:
-            pdf = self.spark.read.parquet(f"{self.index_dir}/doclens").toPandas()
-            # int32 halves the norms cache (4 GB at 10^9 docs): dl is a
-            # token count, always < 2^31; score arithmetic promotes to
-            # float64 identically from either width
-            arr = np.zeros(self.n_docs, dtype=np.int32)
-            arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
-            self._doclens = arr
+            if self.n_docs > self.norms_eager_max_docs:
+                self._doclens = NormsCache(
+                    self._doclens_dirs(), self.n_docs,
+                    page_docs=self.norms_page_docs,
+                    max_pages=self.norms_max_pages)
+            else:
+                pdf = self.spark.read.parquet(*self._doclens_dirs()).toPandas()
+                arr = np.zeros(self.n_docs, dtype=np.int32)
+                arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
+                self._doclens = arr
         return self._doclens
 
     # ---- absent-term bloom sidecar (driver-local, no job per novel term) ----

