@@ -236,8 +236,7 @@ def connected_components(
         nodes = sym.select(F.col("src").alias(id_col)).distinct()
     labels = nodes.select(F.col(id_col).cast("long").alias(id_col)).withColumn(
         "cluster_id", F.col(id_col)
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)  # truncate lineage per round (see star variant)
     sym = sym.persist()
     try:
         for _ in range(max_iter):
@@ -254,7 +253,7 @@ def connected_components(
                         F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
                     ).alias("cluster_id"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -262,26 +261,114 @@ def connected_components(
                 .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
         else:
             # the loop exhausted max_iter with changed > 0: a component's
-            # diameter exceeds max_iter and the returned labels would split
-            # one true component into several — surface it instead of
-            # silently returning wrong cluster_ids (callers bump max_iter
-            # or switch to the large-star/small-star variant)
+            # diameter exceeds max_iter and these labels would split one
+            # true component into several — hand the graph to the
+            # large-star/small-star variant, which converges in O(log n)
+            # rounds regardless of diameter (VERDICT r4 #5)
             import warnings
 
             warnings.warn(
-                f"connected_components did not converge in {max_iter} iterations "
-                f"({changed} labels still changing) — cluster_ids are NOT final; "
-                "raise max_iter (components this deep suggest the "
-                "large-star/small-star O(log n) variant)",
+                f"connected_components hit max_iter={max_iter} with {changed} "
+                "labels still changing (deep component) — finishing with the "
+                "large-star/small-star variant",
                 RuntimeWarning,
                 stacklevel=2,
             )
+            return connected_components_star(
+                edges, a_col=a_col, b_col=b_col, id_col=id_col, nodes=nodes)
     finally:
         sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, the 100 TB-safe variant
+    for deep chains where min-label propagation needs O(diameter) rounds.
+
+    Each round rewrites the edge set with two equi-join + groupBy passes:
+
+      large-star  — every node u attaches its strictly LARGER neighbors to
+                    m(u) = min(u ∪ N(u));
+      small-star  — orient edges (larger → smaller); every node u attaches
+                    its smaller neighbors AND ITSELF to the minimum of that
+                    small neighborhood.
+
+    The fixed point is a forest of stars rooted at each component's minimum
+    node, so the surviving edges ARE the (doc_id, cluster_id) labels.
+    Convergence is checked exactly (two anti-joins), never by checksum.
+
+    Each generation is ``localCheckpoint``-ed: one round's plan references
+    the previous edge set ~6×, so without truncation the LOGICAL plan grows
+    ~6^rounds and the Catalyst analyzer — not the data — becomes the
+    bottleneck by round 3 (measured: an 11-edge graph wedged the driver
+    JVM). The checkpoint materializes each generation to executor storage
+    and cuts lineage to O(1); on a cluster where executor loss matters,
+    swap in reliable ``checkpoint()`` with a checkpoint dir."""
+    import warnings
+
+    e = (
+        edges.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct()
+        )
+        o = ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (ss.join(e, ["u", "v"], "left_anti").count()
+                   + e.join(ss, ["u", "v"], "left_anti").count())
+        e = ss
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            "— cluster_ids are NOT final (pathological input?)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(a_col).alias(id_col))
+            .unionByName(edges.select(F.col(b_col).alias(id_col)))
+            .distinct()
+        )
+    return (
+        nodes.select(F.col(id_col).cast("long").alias(id_col))
+        .join(labels, id_col, "left")
+        .select(id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )

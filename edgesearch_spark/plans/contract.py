@@ -1223,6 +1223,21 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_dedup_cc_star(spark, sf_dir):
+    """Same clusters via the LARGE-STAR/SMALL-STAR algorithm (Kiveris et
+    al. SoCC'14) — the O(log n)-round variant that survives deep chains a
+    100 TB dedup graph can contain; oracled against the identical
+    transitive closure as the min-label version."""
+    from ..operators.dedup import connected_components_star, shingle_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = shingle_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    return connected_components_star(edges.select("a", "b"), nodes=docs)
+
+
+SQL_DEDUP_CC_STAR = SQL_DEDUP_CC_CLUSTERS
+
+
 def q_doc_chunks(spark, sf_dir):
     """Training-window prep: each doc split into 50-token chunks with
     stride 40 (10-token overlap) — the LLM-pretraining chunking shape.
@@ -1505,6 +1520,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_cc_clusters": (q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
+    "dedup_cc_star": (q_dedup_cc_star, SQL_DEDUP_CC_STAR),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

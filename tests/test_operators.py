@@ -336,9 +336,11 @@ def test_connected_components_chain_and_star(spark):
                    20: 20, 21: 20, 99: 99}, got
 
 
-def test_connected_components_warns_when_not_converged(spark):
+def test_connected_components_deep_chain_finishes_via_star(spark):
     """A chain deeper than max_iter must NOT return silently-wrong labels:
-    the non-converged exit warns so callers can bump max_iter (ADVICE r3)."""
+    the non-converged exit warns AND hands the graph to the
+    large-star/small-star variant, so the returned labels are still
+    correct (VERDICT r4 #5 upgraded ADVICE r3's warn-only behavior)."""
     import warnings
 
     from edgesearch_spark.operators.dedup import connected_components
@@ -346,11 +348,63 @@ def test_connected_components_warns_when_not_converged(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        connected_components(chain, max_iter=2).collect()
-    assert any("did not converge" in str(w.message) for w in rec), \
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(chain, max_iter=2).collect()}
+    assert any("large-star" in str(w.message) for w in rec), \
         [str(w.message) for w in rec]
+    assert got == {i: 1 for i in range(1, 9)}, got  # star fallback: correct
     # and a converging run stays silent
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         connected_components(chain, max_iter=25).collect()
-    assert not any("did not converge" in str(w.message) for w in rec)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)], \
+        [str(w.message) for w in rec]
+
+
+def test_connected_components_star_path100_converges_fast(spark):
+    """Kiveris et al. large-star/small-star: a 100-node PATH graph (the
+    min-label worst case — needs ~100 propagation rounds) must converge in
+    ≤10 star rounds with no warning, labels = component min. Mixed with a
+    star component and singletons to pin the label shape."""
+    import warnings
+
+    from edgesearch_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)]      # path 1..100 → cluster 1
+        + [(200, 201), (200, 202), (200, 203)],  # star → cluster 200
+        "a long, b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 101)) + [200, 201, 202, 203, 999]],
+        "doc_id long")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components_star(edges, nodes=nodes,
+                                                  max_iter=10).collect()}
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)], \
+        [str(w.message) for w in rec]  # converged within 10
+    want = {i: 1 for i in range(1, 101)}
+    want.update({200: 200, 201: 200, 202: 200, 203: 200, 999: 999})
+    assert got == want
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Both CC variants must produce IDENTICAL labels on an arbitrary
+    multi-component graph (same fixed point, different round complexity)."""
+    from edgesearch_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13),
+         (20, 21), (5, 30), (30, 31), (13, 40)],
+        "a long, b long",
+    )
+    a = {(r["doc_id"], r["cluster_id"])
+         for r in connected_components(edges).collect()}
+    b = {(r["doc_id"], r["cluster_id"])
+         for r in connected_components_star(edges).collect()}
+    assert a == b
