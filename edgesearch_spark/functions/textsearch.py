@@ -29,23 +29,58 @@ from ..tokenizer import _tokens_col
 _WORD = re.compile(r"[a-zA-Z0-9]+")
 
 
+def phrase_precheck_col(content_col: str, phrase_terms: list[str]) -> Column | None:
+    """Cheap NECESSARY condition for :func:`phrase_col` — one linear rlike
+    over lower(content) instead of tokenize + n shifted slices + zip.
+
+    Tokens are the maximal ``[a-z0-9]`` runs of ``lower(content)`` with runs
+    longer than MAX_TERM_BYTES dropped (tokenizer.py): if the phrase terms
+    are consecutive in that stream, lower(content) must contain
+
+        (^|[^a-z0-9]) t1 GAP t2 GAP … tn ($|[^a-z0-9])
+
+    where GAP = ``[^a-z0-9]+([a-z0-9]{256,}[^a-z0-9]+)*`` — between two
+    consecutive KEPT tokens lies at least one delimiter run, optionally
+    interleaved with dropped overlong runs (two alnum runs are always
+    delimiter-separated, so the alternation shape is exact). The inner GAP
+    pieces live on disjoint alphabets, so no regex backtracking blowup.
+    Returns None (no usable precheck) when any term is not purely
+    alphanumeric — such a term can never be a token and the exact check
+    decides alone."""
+    terms = [t.lower() for t in phrase_terms]
+    if not all(_WORD.fullmatch(t) for t in terms):
+        return None
+    from ..tokenizer import MAX_TERM_BYTES
+
+    gap = rf"[^a-z0-9]+(?:[a-z0-9]{{{MAX_TERM_BYTES + 1},}}[^a-z0-9]+)*"
+    pat = "(?:^|[^a-z0-9])" + gap.join(terms) + "(?:[^a-z0-9]|$)"
+    return F.lower(F.col(content_col)).rlike(pat)
+
+
 def phrase_col(content_col: str, phrase_terms: list[str]) -> Column:
     """True iff the tokenized content contains the terms CONSECUTIVELY.
     Pure JVM: zip the token array with its shifted selves and look for the
-    phrase tuple — whole-stage-codegen, no UDF."""
+    phrase tuple — whole-stage-codegen, no UDF. A linear-scan regex
+    precheck (phrase_precheck_col, provably necessary) fronts the zip so
+    non-matching candidates — the common case after index ANDing, where all
+    terms occur but not adjacently — never pay the tokenize: And
+    short-circuits in codegen when the left side is false."""
     n = len(phrase_terms)
     if n == 0:
         raise ValueError("empty phrase")
     ts = _tokens_col(content_col)
     if n == 1:
-        return F.array_contains(ts, phrase_terms[0].lower())
-    shifted = [ts if i == 0 else F.slice(ts, i + 1, F.greatest(F.size(ts) - i, F.lit(0)))
-               for i in range(n)]
-    # arrays_zip pads the shorter shifted arrays with NULL, which can never
-    # equal the phrase tuple — tail windows fall out for free
-    want = F.struct(*[F.lit(t.lower()).alias(str(i)) for i, t in enumerate(phrase_terms)])
-    zipped = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
-    return F.array_contains(zipped, want)
+        exact = F.array_contains(ts, phrase_terms[0].lower())
+    else:
+        shifted = [ts if i == 0 else F.slice(ts, i + 1, F.greatest(F.size(ts) - i, F.lit(0)))
+                   for i in range(n)]
+        # arrays_zip pads the shorter shifted arrays with NULL, which can never
+        # equal the phrase tuple — tail windows fall out for free
+        want = F.struct(*[F.lit(t.lower()).alias(str(i)) for i, t in enumerate(phrase_terms)])
+        zipped = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
+        exact = F.array_contains(zipped, want)
+    pre = phrase_precheck_col(content_col, phrase_terms)
+    return exact if pre is None else pre & exact
 
 
 def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",

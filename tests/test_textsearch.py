@@ -258,3 +258,83 @@ def test_index_regex_overlong_literal_ignored(spark, docs, regex_index):
     # literal ignored and 'vector' expanded, result == scan result (empty)
     got = index_regex_search(regex_index, long_lit + r" vector").count()
     assert got == 0
+
+
+def _phrase_exact_only(content_col, terms):
+    """The pre-precheck zip semantics — ground truth for necessity tests."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.tokenizer import _tokens_col
+
+    ts = _tokens_col(content_col)
+    if len(terms) == 1:
+        return F.array_contains(ts, terms[0].lower())
+    shifted = [ts if i == 0 else F.slice(ts, i + 1, F.greatest(F.size(ts) - i, F.lit(0)))
+               for i in range(len(terms))]
+    want = F.struct(*[F.lit(t.lower()).alias(str(i)) for i, t in enumerate(terms)])
+    return F.array_contains(F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)]), want)
+
+
+def test_phrase_precheck_is_necessary(spark):
+    """The rlike precheck fronting phrase_col must NEVER flip a true match
+    to false — adversarial contents: dropped overlong runs between the
+    phrase terms (tokens >255 bytes vanish from the stream, making their
+    neighbors adjacent), unicode delimiters, case-folding chars, phrase at
+    string boundaries, and a term that is a substring of a dropped run."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.functions.textsearch import phrase_col
+
+    long_run = "z" * 300          # dropped: >255 bytes => foo/bar adjacent
+    keep_run = "z" * 255          # kept: breaks adjacency
+    rows = [
+        (0, "foo bar tail"),                      # plain adjacent
+        (1, f"foo {long_run} bar"),               # adjacent via dropped run
+        (2, f"foo {long_run}, {long_run}\tbar"),  # two dropped runs
+        (3, f"foo {keep_run} bar"),               # NOT adjacent (run kept)
+        (4, "foo"),                               # phrase longer than doc
+        (5, "xfoo bar"),                          # t1 not a token
+        (6, "foo barx"),                          # t2 not a token
+        (7, "FOO BAR"),                      # unicode delimiter + case
+        (8, "foo bar"),                           # exact doc == phrase
+        (9, f"{long_run}foo bar"),                # t1 glued into dropped run
+        (10, "a foo\n\nbar b"),                   # newline delimiters
+        (11, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["new"], r["old"]) for r in df.select(
+        "doc_id",
+        phrase_col("content", ["foo", "bar"]).alias("new"),
+        _phrase_exact_only("content", ["foo", "bar"]).alias("old"),
+    ).collect()}
+    assert got == {i: (v, v) for i, (v, _) in got.items()}  # new == old everywhere
+    assert got[0][1] and got[1][1] and got[2][1] and got[7][1] and got[8][1] and got[10][1]
+    assert not got[3][1] and not got[5][1] and not got[9][1]
+
+
+def test_phrase_precheck_property(spark):
+    """Randomized necessity check: over a grammar of tokens/delimiters/
+    overlong runs, phrase_col (precheck && zip) equals the zip alone."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.functions.textsearch import phrase_col
+
+    rng = random.Random(5)
+    pieces = ["foo", "bar", "baz", "q1", "z" * 256, "z" * 255, "FOO", "Bar"]
+    delims = [" ", "", ",", " ", "\n", "-", "İ"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 8)
+        s = ""
+        for _ in range(n):
+            s += rng.choice(pieces) + rng.choice(delims)
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    for phrase in (["foo", "bar"], ["bar", "baz", "q1"], ["foo"]):
+        mism = df.select(
+            phrase_col("content", phrase).alias("new"),
+            _phrase_exact_only("content", phrase).alias("old"),
+        ).filter(F.col("new").eqNullSafe(F.col("old")) == False).count()  # noqa: E712
+        assert mism == 0, phrase
