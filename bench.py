@@ -182,7 +182,7 @@ def main() -> None:
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
     contract_names = (
         "bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1",
-        "dedup_minhash_lsh", "phrase_match", "idx_phrase_match",
+        "dedup_minhash_lsh", "phrase_match", "idx_phrase_match", "idx_phrase_bigram",
         "regex_search", "idx_regex_search", "idx_facet_lang",
         "term_suggest", "idx_snippets",
     )

@@ -86,6 +86,14 @@ class IndexConfig:
     # keeps the original content (sha256 invariant untouched); doclens and
     # BM25 statistics count subtokens, consistently with the index.
     split_identifiers: bool = False
+    # hot-phrase acceleration (Lucene common-grams idea): index the ADJACENT
+    # token pair "t1 t2" for every pair whose BOTH terms have df ≥ this
+    # threshold. Phrase queries over hot term pairs then AND exact-adjacency
+    # postings instead of each term's huge doc set — candidates shrink from
+    # |docs with both terms| to |docs with the pair adjacent|. None = no
+    # sidecar. Hot-term count is bounded by total_postings / bigram_min_df,
+    # so the driver-collected hot list stays metadata-scale by construction.
+    bigram_min_df: int | None = None
 
 
 @dataclass
@@ -573,5 +581,71 @@ def build_index(
         m = StageMetrics("blooms", n_ranges, dt, {"n_terms": n_terms})
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": terms_path, "output": bloom_path})
+
+    # ---- stage 6 (optional): hot-bigram sidecar (common-grams) ----
+    # Adjacent-pair postings for hot×hot term pairs, in the SAME postings
+    # schema/codec as the main table so the engine's pruned fetch + decode
+    # path serves them unchanged. Soundness rests on the docs-store token
+    # stream being byte-identical to the indexed stream, so normalizing
+    # builds (word_map / field_prefix / split_identifiers rewrite tokens
+    # relative to stored content) refuse the sidecar.
+    if cfg.bigram_min_df is not None and not stage("bigrams"):
+        if cfg.word_map or cfg.field_prefix or cfg.split_identifiers:
+            raise ValueError(
+                "bigram_min_df requires a plain tokenization build "
+                "(no word_map/field_prefix/split_identifiers)"
+            )
+        from .tokenizer import _tokens_col
+
+        t0 = time.monotonic()
+        hot_df = (
+            spark.read.parquet(terms_path)
+            .filter(F.col("df") >= cfg.bigram_min_df).select("term")
+        )
+        docs_df = spark.read.parquet(docs_path)
+        ts = _tokens_col(content_col)
+        pair = F.arrays_zip(
+            ts.alias("a"),
+            F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("b"),
+        )
+        pairs = (
+            docs_df.select("doc_id", F.explode(pair).alias("p"))
+            .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .filter(F.col("b").isNotNull())
+            # two broadcast semi-joins bound the pair stream to hot×hot —
+            # the hot list never reaches the driver as literals
+            .join(F.broadcast(hot_df).withColumnRenamed("term", "a"), "a", "left_semi")
+            .join(F.broadcast(hot_df).withColumnRenamed("term", "b"), "b", "left_semi")
+            .groupBy("doc_id", F.concat_ws(" ", "a", "b").alias("term"))
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        slim = pairs.select("term", "doc_id", "tf", F.lit(0.0).cast("float").alias("w"))
+        stream = slim.repartition(
+            n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
+        ).sortWithinPartitions("term", "doc_id")
+        bigram_path = os.path.join(out_dir, "bigram_postings")
+        (stream.mapInPandas(make_stream_encoder(cfg.block_size, cfg.salt_shift),
+                            schema=POSTINGS_SCHEMA)
+               .repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+               .write.mode("overwrite")
+               .option("parquet.block.size", cfg.target_rowgroup_bytes)
+               .parquet(bigram_path))
+        agg = spark.read.parquet(bigram_path).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings")).collect()[0]
+        # the engine detects the sidecar from stats.json (never from a
+        # filesystem probe — remote index dirs, ADVICE r4 bloom lesson)
+        stats_path = os.path.join(out_dir, "stats.json")
+        with open(stats_path) as f:
+            st = json.load(f)
+        st["bigram_min_df"] = cfg.bigram_min_df
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        dt = time.monotonic() - t0
+        m = StageMetrics("bigrams", int(agg["rows"]), dt,
+                         {"total_postings": int(agg["postings"] or 0),
+                          "min_df": cfg.bigram_min_df})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": bigram_path})
 
     return metrics

@@ -993,13 +993,15 @@ class SearchEngine:
                             ranked_scores[lo : lo + page.size].tolist())
 
     # ---- distributed twin: hot union-shaped queries as ONE Spark plan ----
-    def _decoded_for(self, terms: list[str]) -> DataFrame:
+    def _decoded_for(self, terms: list[str], postings_df: DataFrame | None = None) -> DataFrame:
         """(term, doc_id, tf) rows for the given terms, decoded executor-side
         (scan pruned by the term filter). Uses self._postings_df so it is
-        multi-segment-correct."""
+        multi-segment-correct; pass postings_df to decode a sidecar table in
+        the same schema (e.g. the hot-bigram common-grams sidecar)."""
         from .sources.postings import DECODED_SCHEMA, _decode_rows
 
-        pt = self._postings_df.filter(F.col("term").isin(terms)).select(
+        pt = (postings_df if postings_df is not None else self._postings_df
+              ).filter(F.col("term").isin(terms)).select(
             "term", "block_first_doc", "block_max_doc", "block_count",
             "block_offset", "block_kind", "payload",
         )
@@ -1007,6 +1009,16 @@ class SearchEngine:
 
     def _doclens_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/doclens")
+
+    def bigram_postings_df(self) -> DataFrame | None:
+        """The hot-bigram common-grams sidecar (build stage 6), or None when
+        the index was built without one. Presence comes from stats.json, not
+        a filesystem probe (remote index dirs, ADVICE r4 bloom lesson)."""
+        if self.stats.get("bigram_min_df") is None:
+            return None
+        if not hasattr(self, "_bigram_df"):
+            self._bigram_df = self.spark.read.parquet(f"{self.index_dir}/bigram_postings")
+        return self._bigram_df
 
     def _matched_docs_df(self, q: Query, tp: dict, scored: bool) -> DataFrame:
         """(doc_id, score) rows satisfying the boolean clauses — the

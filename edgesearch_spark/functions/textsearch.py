@@ -286,6 +286,73 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     return verify_on_candidates(fetched, cond).select("doc_id")
 
 
+def index_phrase_search(engine, phrase: str, content_col: str = "content") -> DataFrame:
+    """Phrase search through the index, using the hot-bigram common-grams
+    sidecar when the index carries one (IndexConfig.bigram_min_df; Lucene's
+    CommonGramsFilter idea):
+
+      * every adjacent phrase pair whose terms BOTH have df ≥ bigram_min_df
+        is served from exact-adjacency bigram postings — candidates shrink
+        from |docs holding both hot terms| to |docs where they are adjacent|,
+        which is what makes a phrase of two stopword-hot terms cheap;
+      * terms not covered by a chosen bigram stay single-term AND
+        constraints on the main postings;
+      * the verify stage (precheck + zip behind the pushdown barrier) stays —
+        bigram adjacency somewhere in the doc does not imply the full n-gram
+        chain for phrases of 3+ terms.
+
+    Falls back to the plain AND-candidates + verify plan when the sidecar is
+    absent (multi-segment engines, plain builds) or no pair qualifies.
+    Single-term phrases ARE term membership — served straight from the
+    boolean index, no verify."""
+    from ..oracle import Query
+
+    terms = [t.lower() for t in _WORD.findall(phrase)]
+    if not terms:
+        raise ValueError("empty phrase")
+    spark = engine.spark
+    if len(terms) == 1:
+        return engine.search_df(Query.make(require=terms)).select("doc_id")
+    tp = engine.fetch_terms(list(dict.fromkeys(terms)))
+    if any(tp[t] is None for t in terms):
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+
+    min_df = engine.stats.get("bigram_min_df")
+    bigram_df = engine.bigram_postings_df() if min_df is not None else None
+    constraints: dict[str, bool] = {}  # key -> is_bigram (deduped: a repeated
+    # pair/term is one AND constraint — countDistinct counts keys once)
+    if bigram_df is not None:
+        covered: set[int] = set()
+        for i in range(len(terms) - 1):
+            if tp[terms[i]].df >= min_df and tp[terms[i + 1]].df >= min_df:
+                constraints[f"{terms[i]} {terms[i + 1]}"] = True
+                covered.update((i, i + 1))
+        for i in range(len(terms)):
+            if i not in covered:
+                constraints.setdefault(terms[i], False)
+    if not any(constraints.values()):
+        cands = engine.search_df(Query.make(require=list(dict.fromkeys(terms))))
+    else:
+        parts = []
+        bkeys = [k for k, b in constraints.items() if b]
+        skeys = [k for k, b in constraints.items() if not b]
+        if bkeys:
+            parts.append(engine._decoded_for(bkeys, postings_df=bigram_df)
+                         .select("term", "doc_id"))
+        if skeys:
+            parts.append(engine._decoded_for(skeys).select("term", "doc_id"))
+        dec = parts[0]
+        for p in parts[1:]:
+            dec = dec.unionByName(p)
+        n = len(constraints)
+        cands = (dec.groupBy("doc_id")
+                 .agg(F.countDistinct("term").alias("nc"))
+                 .filter(F.col("nc") == n).select("doc_id"))
+    fetched = engine.fetch_docs_df(cands)
+    return verify_on_candidates(
+        fetched, phrase_col(content_col, terms)).select("doc_id")
+
+
 def snippet_col(content_col: str, terms: list[str], radius: int = 30) -> Column:
     """A display snippet around the FIRST occurrence of any query term
     (earliest match across terms wins; the doc head when nothing matches) —

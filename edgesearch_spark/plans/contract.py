@@ -1149,6 +1149,22 @@ def q_idx_phrase_match(spark, sf_dir):
 SQL_IDX_PHRASE_MATCH = SQL_PHRASE_MATCH
 
 
+def q_idx_phrase_bigram(spark, sf_dir):
+    """Hot-phrase search through the common-grams sidecar (build stage 6,
+    IndexConfig.bigram_min_df): adjacent hot-term pairs are their own
+    postings lists, so the candidate set is the exact ADJACENCY set instead
+    of the co-occurrence set the plain AND verifies — the Lucene
+    CommonGramsFilter idea as a Spark-side sidecar table. Same oracle as
+    phrase_match: results must be identical, only the plan differs."""
+    from ..functions.textsearch import index_phrase_search
+
+    eng = _engine_for(spark, sf_dir)
+    return index_phrase_search(eng, "stream column")
+
+
+SQL_IDX_PHRASE_BIGRAM = SQL_PHRASE_MATCH
+
+
 def q_regex_search(spark, sf_dir):
     """Regex over content with required-literal substring prefiltering
     (trigram-index idea, Cox 2012, evaluated scan-side): the cheap
@@ -1334,7 +1350,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
             "edgesearch_idx_" + hashlib.md5(f"{sf_dir}:{__version__}".encode()).hexdigest()[:10],
         )
         docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
-        build_index(spark, docs, out, IndexConfig(), doc_id_col="doc_id", content_col="content", resume=True)
+        build_index(spark, docs, out, IndexConfig(bigram_min_df=10),
+                    doc_id_col="doc_id", content_col="content", resume=True)
         _IDX_CACHE[sf_dir] = out
     return _IDX_CACHE[sf_dir]
 
@@ -1487,6 +1504,7 @@ QUERIES = {
     # --- newest index-engine surfaces (r4/r5) ---
     "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
+    "idx_phrase_bigram": (q_idx_phrase_bigram, SQL_IDX_PHRASE_BIGRAM),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "regex_search": (q_regex_search, SQL_REGEX_SEARCH),

@@ -343,6 +343,11 @@ class MultiSegmentEngine(SearchEngine):
         self._doclens = None
         self._blooms = False
 
+    def bigram_postings_df(self):
+        # segments carry no common-grams sidecar; phrase search falls back
+        # to the AND-candidates + verify plan (identical results)
+        return None
+
     def _bloom_dirs(self):
         return list(self._segment_dirs)
 

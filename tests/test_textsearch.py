@@ -338,3 +338,95 @@ def test_phrase_precheck_property(spark):
             _phrase_exact_only("content", phrase).alias("old"),
         ).filter(F.col("new").eqNullSafe(F.col("old")) == False).count()  # noqa: E712
         assert mism == 0, phrase
+
+
+@pytest.fixture(scope="module")
+def bigram_index(spark, tmp_path_factory):
+    """'data' and 'value' are hot (df ≥ 4) and CO-OCCUR in most docs but are
+    ADJACENT in only two — the case the common-grams sidecar exists for."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+
+    rows = [
+        (0, "data value pipeline"),            # adjacent
+        (1, "value of the data stream"),       # both, not adjacent
+        (2, "data in the value column"),       # both, not adjacent
+        (3, "the data holds a value here"),    # both, not adjacent
+        (4, "big data value store"),           # adjacent
+        (5, "data " + "z" * 300 + " value"),   # overlong run dropped => ADJACENT
+        (6, "value data"),                     # reversed order only
+        (7, "rarex data value rarey"),         # adjacent, plus rare terms
+        (8, "no relevant terms at all"),
+        (9, "data data value value"),          # repeated hot terms, adjacent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path_factory.mktemp("bigramidx"))
+    build_index(spark, df, out, IndexConfig(block_size=8, salt_shift=4, bigram_min_df=4),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    eng._test_docs = df
+    return eng
+
+
+def test_bigram_sidecar_built_and_detected(spark, bigram_index):
+    assert bigram_index.stats.get("bigram_min_df") == 4
+    bp = bigram_index.bigram_postings_df()
+    keys = {r["term"] for r in bp.select("term").distinct().collect()}
+    assert "data value" in keys and "value data" in keys
+    # every key is a hot×hot pair — no rare term ever enters the sidecar
+    assert all(" " in k and "rarex" not in k and "rarey" not in k for k in keys)
+
+
+def test_bigram_phrase_equals_scan_and_prunes(spark, bigram_index):
+    """Bigram-served phrase == scan phrase, and the candidate set is the
+    ADJACENCY set (3 docs incl. the dropped-overlong-run one), not the
+    6-doc co-occurrence set the plain AND would verify."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.functions.textsearch import index_phrase_search, phrase_search
+
+    docs = bigram_index._test_docs
+    got = sorted(r["doc_id"] for r in index_phrase_search(bigram_index, "data value").collect())
+    want = sorted(r["doc_id"] for r in phrase_search(docs, "data value").collect())
+    assert got == want == [0, 4, 5, 7, 9]
+    dec = bigram_index._decoded_for(["data value"],
+                                    postings_df=bigram_index.bigram_postings_df())
+    bigram_cands = dec.select("doc_id").distinct().count()
+    from edgesearch_spark.oracle import Query
+    and_cands = bigram_index.search_df(Query.make(require=["data", "value"])).count()
+    assert bigram_cands == 5 and and_cands >= 8
+    assert bigram_cands < and_cands
+
+
+def test_bigram_phrase_mixed_hot_rare_and_missing(spark, bigram_index):
+    from edgesearch_spark.functions.textsearch import index_phrase_search, phrase_search
+
+    docs = bigram_index._test_docs
+    for phrase in ("rarex data value", "data value rarey", "value data",
+                   "data value pipeline", "data", "the data"):
+        got = sorted(r["doc_id"] for r in index_phrase_search(bigram_index, phrase).collect())
+        want = sorted(r["doc_id"] for r in phrase_search(docs, phrase).collect())
+        assert got == want, phrase
+    assert index_phrase_search(bigram_index, "data zz_nope").count() == 0
+
+
+def test_phrase_fallback_without_sidecar(spark, docs, regex_index):
+    """A plain index (no bigram stage) serves the same results through the
+    AND-candidates + verify fallback."""
+    from edgesearch_spark.functions.textsearch import index_phrase_search, phrase_search
+
+    assert regex_index.bigram_postings_df() is None
+    got = sorted(r["doc_id"] for r in index_phrase_search(regex_index, "spark sql").collect())
+    want = sorted(r["doc_id"] for r in phrase_search(docs, "spark sql").collect())
+    assert got == want == [0, 1, 4]
+
+
+def test_bigram_refuses_normalizing_builds(spark, tmp_path_factory):
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    df = spark.createDataFrame([(0, "getUserName of data")], "doc_id long, content string")
+    out = str(tmp_path_factory.mktemp("bigrambad"))
+    with pytest.raises(ValueError, match="bigram"):
+        build_index(spark, df, out,
+                    IndexConfig(bigram_min_df=2, split_identifiers=True),
+                    doc_id_col="doc_id", content_col="content")
