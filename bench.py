@@ -9,7 +9,7 @@ $SPARK_GRAFT_SF_DIR.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores (default 32)
-  BENCH_CORPUS_DOCS    synthetic corpus size (default 200_000)
+  BENCH_CORPUS_DOCS    synthetic corpus size (default 500_000)
 
 Two-parallelism scaling evidence (BASELINE.md protocol): run this script
 twice with SPARK_GRAFT_CPUS=8 and 32 (separate processes — the JVM caches
