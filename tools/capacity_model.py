@@ -62,6 +62,10 @@ def measure(index_dir: str) -> dict:
         "terms_table_bytes": tree_bytes("term_stats"),
         "bloom_bytes": tree_bytes("term_bloom") if os.path.exists(
             os.path.join(index_dir, "term_bloom")) else 0,
+        # optional common-grams sidecar (IndexConfig.bigram_min_df): hot-pair
+        # adjacency postings — presence read from stats.json like the engine
+        "bigram_bytes": tree_bytes("bigram_postings")
+        if stats.get("bigram_min_df") is not None else 0,
     }
     return m
 
@@ -100,6 +104,10 @@ def project(m: dict, target_docs: int, hot_df: int) -> list[tuple[str, str, str]
                  f"{shard_rows:,.0f} shard rows × ~40 B (two-level lazy, level 1)"))
     rows.append(("rebuild shuffle volume", human(target_docs * ppd * 24),
                  "~24 B/posting through the ONE (term,salt) shuffle (pack blobs)"))
+    if m.get("bigram_bytes"):
+        rows.append(("bigram sidecar (≤)", human(m["bigram_bytes"] * scale),
+                     "hot-pair adjacency postings; volume bounded by hot-pair "
+                     "co-adjacency, scales at most with postings"))
     return rows
 
 
