@@ -333,9 +333,15 @@ def index_phrase_search(engine, phrase: str, content_col: str = "content") -> Da
     if not any(constraints.values()):
         cands = engine.search_df(Query.make(require=list(dict.fromkeys(terms))))
     else:
-        parts = []
         bkeys = [k for k, b in constraints.items() if b]
         skeys = [k for k, b in constraints.items() if not b]
+        if len(terms) == 2 and len(constraints) == 1 and bkeys:
+            # a TWO-term phrase is exactly pair adjacency — the bigram
+            # postings ARE the result set (phrase_col's n=2 zip tests the
+            # same adjacency the sidecar indexed); no docs-store verify
+            return (engine._decoded_for(bkeys, postings_df=bigram_df)
+                    .select("doc_id").distinct())
+        parts = []
         if bkeys:
             parts.append(engine._decoded_for(bkeys, postings_df=bigram_df)
                          .select("term", "doc_id"))

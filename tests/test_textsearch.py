@@ -430,3 +430,23 @@ def test_bigram_refuses_normalizing_builds(spark, tmp_path_factory):
         build_index(spark, df, out,
                     IndexConfig(bigram_min_df=2, split_identifiers=True),
                     doc_id_col="doc_id", content_col="content")
+
+
+def test_bigram_two_term_phrase_skips_verify_entirely(spark, bigram_index):
+    """For a 2-term hot phrase the bigram postings ARE the phrase result:
+    the docs store must never be fetched (monkeypatch-raises), and results
+    still equal the scan."""
+    from edgesearch_spark.functions.textsearch import index_phrase_search, phrase_search
+
+    orig = bigram_index.fetch_docs_df
+
+    def boom(*a, **kw):
+        raise AssertionError("docs store fetched for a pure-bigram 2-term phrase")
+
+    bigram_index.fetch_docs_df = boom
+    try:
+        got = sorted(r["doc_id"] for r in index_phrase_search(bigram_index, "data value").collect())
+    finally:
+        bigram_index.fetch_docs_df = orig
+    want = sorted(r["doc_id"] for r in phrase_search(bigram_index._test_docs, "data value").collect())
+    assert got == want == [0, 4, 5, 7, 9]

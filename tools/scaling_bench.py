@@ -39,7 +39,15 @@ def run_bench(cpus: int, docs: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    # the stdout line is the driver-parseable COMPACT summary (r4 fix);
+    # per-stage seconds and codec footprint live in the full-detail artifact
+    try:
+        with open(os.path.join(REPO, "BENCH", "last_run.json")) as f:
+            r["detail"] = json.load(f)["detail"]
+    except (OSError, ValueError, KeyError):
+        pass
+    return r
 
 
 def _burn(iters: int) -> int:
