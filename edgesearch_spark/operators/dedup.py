@@ -372,3 +372,30 @@ def connected_components_star(
         .select(id_col,
                 F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
     )
+
+
+def cluster_split(
+    labels: DataFrame,
+    weights: tuple[int, int] = (90, 95),
+    salt: str = "split1",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: hash the CLUSTER
+    label, not the docID, so every member of a near-dup component lands in
+    the same split — the split-time counterpart of dedup (a near-duplicate
+    of a training doc leaking into test silently inflates eval).
+
+    Input is connected_components[_star] output (doc_id, cluster_id);
+    deterministic salted-md5 bucketing (no RNG state, stable under
+    reprocessing), same scheme as the per-doc hash_split. Narrow per-row
+    ops — no shuffle beyond what the label computation already did."""
+    train_lt, val_lt = weights
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(cluster_col).cast("string"))), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    return labels.select(
+        "doc_id",
+        F.when(h < train_lt, "train").when(h < val_lt, "validation")
+         .otherwise("test").alias("split"),
+    )

@@ -1239,6 +1239,37 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/val/test split: near-dup components (the oracled
+    Jaccard edge set -> large-star/small-star CC) are hashed by CLUSTER
+    label, so no near-duplicate pair ever straddles a split boundary — the
+    leakage-safe upgrade of hash_split for training corpora."""
+    from ..operators.dedup import (
+        cluster_split,
+        connected_components_star,
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = shingle_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    return cluster_split(connected_components_star(edges.select("a", "b"), nodes=docs))
+
+
+_CC_CLOSURE = SQL_DEDUP_CC_CLUSTERS.replace(
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a", "").rstrip()
+SQL_LEAKAGE_SAFE_SPLIT = f"""{_CC_CLOSURE}, clusters AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'validation' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split1' || ':' || cluster_id::VARCHAR), 1, 4) AS BIGINT) % 100 AS h
+  FROM clusters
+)
+"""
+
+
 def q_dedup_cc_star(spark, sf_dir):
     """Same clusters via the LARGE-STAR/SMALL-STAR algorithm (Kiveris et
     al. SoCC'14) — the O(log n)-round variant that survives deep chains a
@@ -1505,6 +1536,7 @@ QUERIES = {
     "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
     "idx_phrase_match": (q_idx_phrase_match, SQL_IDX_PHRASE_MATCH),
     "idx_phrase_bigram": (q_idx_phrase_bigram, SQL_IDX_PHRASE_BIGRAM),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "regex_search": (q_regex_search, SQL_REGEX_SEARCH),

@@ -408,3 +408,25 @@ def test_connected_components_star_matches_label_propagation(spark):
     b = {(r["doc_id"], r["cluster_id"])
          for r in connected_components_star(edges).collect()}
     assert a == b
+
+
+def test_cluster_split_no_leakage_and_deterministic(spark):
+    """Every near-dup edge's endpoints land in the SAME split (the property
+    hash_split cannot give), assignment is stable across calls, and
+    singletons still spread across splits."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.operators.dedup import cluster_split, connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 100)], "a long, b long")
+    nodes = spark.range(200).select(F.col("id").alias("doc_id"))
+    labels = connected_components_star(edges, nodes=nodes)
+    split = cluster_split(labels)
+    j = (edges.join(split.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+              .join(split.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b"))
+    assert j.filter(F.col("sa") != F.col("sb")).count() == 0
+    again = {r["doc_id"]: r["split"] for r in cluster_split(labels).collect()}
+    first = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert first == again
+    assert set(first.values()) == {"train", "validation", "test"}

@@ -450,3 +450,15 @@ def test_bigram_two_term_phrase_skips_verify_entirely(spark, bigram_index):
         bigram_index.fetch_docs_df = orig
     want = sorted(r["doc_id"] for r in phrase_search(bigram_index._test_docs, "data value").collect())
     assert got == want == [0, 4, 5, 7, 9]
+
+
+def test_bigram_scan_is_term_pruned(spark, bigram_index):
+    """The bigram candidates plan must push the pair keys into the sidecar
+    parquet scan (file/row-group pruning at 10^12 docs — same posture as
+    the main postings table)."""
+    df = bigram_index._decoded_for(["data value"],
+                                   postings_df=bigram_index.bigram_postings_df())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a single key folds to EqualTo, multiple to In — both prune
+    assert "PushedFilters" in plan and (
+        "In(term" in plan or "EqualTo(term," in plan), plan
