@@ -81,8 +81,18 @@ class IncrementalIndexer:
 
         with_ids = assign_doc_ids(batch, self.order_cols, doc_id_col="doc_id")
         with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        # segments never serve the common-grams sidecar (a multi-segment
+        # union can't use it soundly: a globally-hot pair may be locally
+        # cold in a small segment and missing from its sidecar), so don't
+        # pay its build cost per micro-batch; compact() keeps the full
+        # config and the compacted single segment serves it (engine()).
+        seg_cfg = self.cfg
+        if getattr(seg_cfg, "bigram_min_df", None) is not None:
+            from dataclasses import replace
+
+            seg_cfg = replace(seg_cfg, bigram_min_df=None)
         build_index(
-            self.spark, with_ids, seg_dir, self.cfg,
+            self.spark, with_ids, seg_dir, seg_cfg,
             doc_id_col="doc_id", content_col=self.content_col, resume=True,
         )
         cache = getattr(with_ids, "_docid_cache", None)
@@ -344,8 +354,19 @@ class MultiSegmentEngine(SearchEngine):
         self._blooms = False
 
     def bigram_postings_df(self):
-        # segments carry no common-grams sidecar; phrase search falls back
-        # to the AND-candidates + verify plan (identical results)
+        # A COMPACTED live index is one plain segment — its sidecar is
+        # sound to serve as long as no tombstones exist (the bigram fast
+        # path reads raw postings and is not delete-aware). Multi-segment
+        # unions never serve it: a globally-hot pair can be locally cold
+        # in a small segment and absent from its sidecar, which would
+        # silently drop matches. Fallback = AND+verify, identical results.
+        if (len(self._segment_dirs) == 1 and self._deleted.size == 0
+                and self._tomb_df is None
+                and self.stats.get("bigram_min_df") is not None):
+            if not hasattr(self, "_bigram_df"):
+                self._bigram_df = self.spark.read.parquet(
+                    f"{self._segment_dirs[0]}/bigram_postings")
+            return self._bigram_df
         return None
 
     def _bloom_dirs(self):

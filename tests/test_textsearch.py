@@ -462,3 +462,46 @@ def test_bigram_scan_is_term_pruned(spark, bigram_index):
     # a single key folds to EqualTo, multiple to In — both prune
     assert "PushedFilters" in plan and (
         "In(term" in plan or "EqualTo(term," in plan), plan
+
+
+def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
+    """Segments skip the sidecar build (multi-segment unions can't serve it
+    soundly); compaction rebuilds with the full config, and the compacted
+    single-segment engine serves it — until a delete appears, which flips
+    back to the (identical-results) AND+verify fallback."""
+    import os
+
+    from edgesearch_spark.build import IndexConfig
+    from edgesearch_spark.functions.textsearch import index_phrase_search, phrase_search
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+    root = str(tmp_path_factory.mktemp("bigraminc"))
+    cfg = IndexConfig(block_size=8, salt_shift=4, bigram_min_df=3)
+    idx = IncrementalIndexer(spark, root, cfg, order_cols=("doc_id",))
+    rows = [(i, f"data value row{i}") for i in range(6)] + \
+           [(i, f"value and then data {i}") for i in range(6, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx.ingest_batch(df.filter("doc_id < 5"), 0)
+    idx.ingest_batch(df.filter("doc_id >= 5"), 1)
+    segs = idx.segment_dirs()
+    assert len(segs) == 2
+    assert not any(os.path.exists(os.path.join(s, "bigram_postings")) for s in segs)
+    eng = idx.engine()
+    assert eng.bigram_postings_df() is None  # multi-segment: fallback
+    want = sorted(r["doc_id"] for r in phrase_search(eng._docs_df, "data value").collect())
+    got = sorted(r["doc_id"] for r in index_phrase_search(eng, "data value").collect())
+    assert got == want and len(want) == 6
+
+    idx.compact_in_place()
+    eng2 = idx.engine()
+    assert len(idx.segment_dirs()) == 1
+    assert eng2.bigram_postings_df() is not None  # compacted: sidecar served
+    got2 = sorted(r["doc_id"] for r in index_phrase_search(eng2, "data value").collect())
+    want2 = sorted(r["doc_id"] for r in phrase_search(eng2._docs_df, "data value").collect())
+    assert got2 == want2 and len(got2) == 6
+
+    idx.delete_docs([got2[0]])
+    eng3 = idx.engine()
+    assert eng3.bigram_postings_df() is None  # deletes: raw postings unsafe
+    got3 = sorted(r["doc_id"] for r in index_phrase_search(eng3, "data value").collect())
+    assert got3 == [d for d in got2 if d != got2[0]]
