@@ -21,4 +21,4 @@ Layout:
   functions/     — text analysis (langid, quality, token stats, fingerprint)
 """
 
-__version__ = "0.3.0"  # 0.3: per-block max_tf (segment-invariant WAND bounds); 0.2.1: bloom sidecar; 0.2: adaptive containers
+__version__ = "0.3.1"  # 0.3.1: stats has_overlong_runs + bigram sidecar; 0.3: per-block max_tf; 0.2.1: bloom sidecar; 0.2: adaptive containers

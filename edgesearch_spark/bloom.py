@@ -204,6 +204,11 @@ def _load_via_spark(spark, path: str, max_eager_rows: int,
         n_rows = sdf.count()
     except AnalysisException:
         return None
+    except Exception:
+        # the bloom is an optional accelerator: any reachability failure
+        # (permissions, transient fs) degrades to the term_stats fallback
+        # instead of failing the query
+        return None
     if n_rows == 0:
         return None
     if n_rows <= max_eager_rows:
@@ -233,6 +238,10 @@ def load_term_bloom(spark: SparkSession, index_dir: str,
         else index_dir.rstrip("/") + "/term_bloom"
     dset = _open_sidecar(path)
     if dset is None:
+        if "://" not in path or path.startswith("file://"):
+            # LOCAL and absent = pre-bloom index, definitively: no point
+            # paying a Spark analysis round-trip that cannot succeed
+            return None
         # non-local dir pyarrow can't reach (e.g. hdfs:// without libhdfs):
         # keep the sidecar alive through Spark's own filesystem rather than
         # silently dropping it and paying a term_stats scan per OOV term

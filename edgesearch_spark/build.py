@@ -289,6 +289,15 @@ def build_index(
         raise ValueError("exactly one of doc_id_col / order_cols required")
     if (cfg.word_map or cfg.field_prefix) and cfg.postings_impl == "collect":
         raise ValueError("word_map/field_prefix require postings_impl 'pack', 'arrow' or 'sortstream'")
+    if cfg.bigram_min_df is not None and (
+            cfg.word_map or cfg.field_prefix or cfg.split_identifiers):
+        # fail BEFORE any stage runs: stage-6-only validation would let an
+        # IncrementalIndexer with this config ingest fine (segments strip
+        # the sidecar) and then burn a full compaction merge before dying
+        raise ValueError(
+            "bigram_min_df requires a plain tokenization build "
+            "(no word_map/field_prefix/split_identifiers)"
+        )
     os.makedirs(out_dir, exist_ok=True)
     n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
     metrics: list[StageMetrics] = []
@@ -376,9 +385,25 @@ def build_index(
         from .tokenizer import doc_length_col
 
         # the docs parquet is range-sorted by doc_id, so the narrow map
-        # below inherits that order — write without reshuffling
-        dl_df = docs_df.select("doc_id", doc_length_col(content_col).alias("dl"))
-        dl_df.write.mode("overwrite").parquet(doclens_path)
+        # below inherits that order — write without reshuffling. The write
+        # also observes whether ANY doc holds an alphanumeric run longer
+        # than MAX_TERM_BYTES: such runs are DROPPED from the token stream,
+        # so a regex literal occurring only inside one exists in no indexed
+        # term and index_regex_search's dictionary pruning would silently
+        # drop the match — the engine routes regex to the scan when this
+        # flag is set (code/base64-heavy corpora).
+        from pyspark.sql import Observation
+
+        from .tokenizer import MAX_TERM_BYTES
+
+        ol = F.when(
+            F.col(content_col).rlike(f"[a-zA-Z0-9]{{{MAX_TERM_BYTES + 1},}}"), 1
+        ).otherwise(0)
+        obs = Observation("overlong_runs")
+        (docs_df.select("doc_id", doc_length_col(content_col).alias("dl"), ol.alias("_ol"))
+                .observe(obs, F.max("_ol").alias("ol"))
+                .select("doc_id", "dl")
+                .write.mode("overwrite").parquet(doclens_path))
         tot = spark.read.parquet(doclens_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens")).collect()[0]
         n_docs = int(tot["n"] or 0)
@@ -401,6 +426,7 @@ def build_index(
             # invariant index_regex_search relies on does not hold —
             # record its use so the engine can route regex to the scan
             "word_map": bool(cfg.word_map),
+            "has_overlong_runs": bool(obs.get["ol"] or 0),
         }
         tmp = os.path.join(out_dir, "stats.json.tmp")
         with open(tmp, "w") as f:
@@ -590,11 +616,6 @@ def build_index(
     # builds (word_map / field_prefix / split_identifiers rewrite tokens
     # relative to stored content) refuse the sidecar.
     if cfg.bigram_min_df is not None and not stage("bigrams"):
-        if cfg.word_map or cfg.field_prefix or cfg.split_identifiers:
-            raise ValueError(
-                "bigram_min_df requires a plain tokenization build "
-                "(no word_map/field_prefix/split_identifiers)"
-            )
         from .tokenizer import _tokens_col
 
         t0 = time.monotonic()

@@ -125,9 +125,27 @@ class NormsCache:
         import pyarrow.dataset as ds
 
         files: list[str] = []
+        fs = None
         for d in doclens_dirs:
-            files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
-        self._dset = ds.dataset(files, format="parquet")
+            if "://" not in d or d.startswith("file://"):
+                local = d[len("file://"):] if d.startswith("file://") else d
+                files.extend(sorted(_glob.glob(os.path.join(local, "*.parquet"))))
+            else:
+                # remote (hdfs://, s3a://) index dir: glob sees nothing —
+                # list through pyarrow's filesystem (bloom-sidecar posture)
+                from pyarrow import fs as pafs
+
+                uri = "s3://" + d[len("s3a://"):] if d.startswith("s3a://") else d
+                fs, rel = pafs.FileSystem.from_uri(uri)
+                infos = fs.get_file_info(pafs.FileSelector(rel, recursive=False))
+                files.extend(sorted(i.path for i in infos
+                                    if i.type == pafs.FileType.File
+                                    and i.path.endswith(".parquet")))
+        if not files and n_docs:
+            # an empty dataset would fail only at first query with an opaque
+            # ArrowInvalid — fail construction loudly instead
+            raise FileNotFoundError(f"no doclens parquet under {doclens_dirs}")
+        self._dset = ds.dataset(files, format="parquet", filesystem=fs)
         self._ds = ds
         self.n_docs = int(n_docs)
         self.page_docs = int(page_docs)

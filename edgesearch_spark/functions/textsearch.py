@@ -237,7 +237,14 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     the "no term contains literal => 0 matches" shortcut would then silently
     drop real matches. Those indexes route straight to the scan."""
     st = getattr(engine, "stats", {}) or {}
-    if st.get("split_identifiers") or st.get("word_map"):
+    if (st.get("split_identifiers") or st.get("word_map")
+            # an alphanumeric run longer than MAX_TERM_BYTES is DROPPED from
+            # the token stream, so a literal occurring only inside one exists
+            # in no indexed term — the dictionary pruning would silently drop
+            # that doc. The build records whether any such run exists
+            # (stats stage Observation); a missing key (pre-r5 index) is
+            # treated as unknown ⇒ unsound ⇒ scan.
+            or st.get("has_overlong_runs", True)):
         return regex_search(engine._docs_df, pattern, content_col=content_col)
     # a literal longer than MAX_TERM_BYTES cannot be a substring of any
     # indexed term even when the doc matches (over-long tokens are dropped

@@ -311,6 +311,14 @@ def connected_components_star(
     node, so the surviving edges ARE the (doc_id, cluster_id) labels.
     Convergence is checked exactly (two anti-joins), never by checksum.
 
+    Generation lifetime: each ``localCheckpoint`` materializes one copy of
+    the edge set; the previous generation's storage is released by Spark's
+    ContextCleaner once the prior DataFrame reference drops (CPython
+    refcounting detaches the py4j handle deterministically at reassignment).
+    Peak executor storage is therefore ~2 generations plus whatever the
+    async cleaner hasn't collected yet — swap in reliable ``checkpoint()``
+    with a checkpoint dir to bound it on disk instead.
+
     Each generation is ``localCheckpoint``-ed: one round's plan references
     the previous edge set ~6×, so without truncation the LOGICAL plan grows
     ~6^rounds and the Catalyst analyzer — not the data — becomes the
@@ -379,6 +387,7 @@ def cluster_split(
     weights: tuple[int, int] = (90, 95),
     salt: str = "split1",
     cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Leakage-safe train/validation/test assignment: hash the CLUSTER
     label, not the docID, so every member of a near-dup component lands in
@@ -395,7 +404,7 @@ def cluster_split(
         16, 10,
     ).cast("long") % 100
     return labels.select(
-        "doc_id",
+        id_col,
         F.when(h < train_lt, "train").when(h < val_lt, "validation")
          .otherwise("test").alias("split"),
     )

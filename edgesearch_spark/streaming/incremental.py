@@ -239,6 +239,14 @@ class IncrementalIndexer:
         gen = int(man.get("compaction_gen", 0)) + 1
         seg_name = f"seg_compacted_{gen:06d}"
         seg_dir = os.path.join(self.root, seg_name)
+        # a leftover dir at this gen is a CRASHED earlier attempt: its
+        # committed stages froze that run's doc/tombstone snapshot, and
+        # compact()'s resume=True would keep them — silently dropping any
+        # segment ingested (or delete appended) since. The manifest never
+        # referenced it, so discarding is safe; rebuild from the CURRENT
+        # snapshot instead.
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir, ignore_errors=True)
         self.compact(seg_dir, tombstone_files=tomb_files)
         with open(os.path.join(seg_dir, "stats.json")) as f:
             n_docs = json.load(f)["n_docs"]
@@ -514,11 +522,29 @@ class MultiSegmentEngine(SearchEngine):
         total = self._union_total(present)
         if not self._deleted.size:
             return total
+        import numpy as np
+
+        # Driver probes on a LAZY term fetch the payload of every shard a
+        # tombstone falls in — for a scattered delete set that is the whole
+        # list, the exact blow-up LazyTermPostings exists to prevent. Budget
+        # the would-be fetch; past it, count |union ∩ tombstones| as ONE
+        # distributed job (decode pruned cluster-side, broadcast-semi-join
+        # the delete set) — no shard payload reaches the driver.
+        est = 0
+        for p in present:
+            if getattr(p, "lazy", False):
+                sh = p._shards_for_docs(self._deleted)
+                est += int(p._sbytes[sh].sum())
+        if est > self.union_probe_budget_bytes:
+            dead_df = self.spark.createDataFrame(
+                [(int(d),) for d in self._deleted], "doc_id long")
+            dead = (self._decoded_for([p.term for p in present])
+                    .select("doc_id").distinct()
+                    .join(F.broadcast(dead_df), "doc_id", "left_semi").count())
+            return total - int(dead)
         # |union ∩ tombstones| via per-term membership probes of the (small,
         # budget-bounded) delete set: lookup_tfs block-skips, so this costs
         # O(|tombstones| log) per term, never a union decode
-        import numpy as np
-
         dead_in_union = np.zeros(self._deleted.size, dtype=bool)
         for p in present:
             dead_in_union |= p.lookup_tfs(self._deleted) > 0

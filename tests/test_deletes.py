@@ -325,3 +325,76 @@ def test_compact_in_place_aborts_on_concurrent_writers(spark, tmp_path_factory):
     eng = idx.engine()
     assert eng.n_docs == 118
     assert eng.search(Query.make(require=["racerdoc"])).total == 1
+
+
+def test_compact_in_place_retry_discards_crashed_partial_build(spark, tmp_path_factory):
+    """A compact_in_place attempt that crashed mid-merge leaves a partial
+    seg_compacted_{gen} dir whose committed stages froze the OLD snapshot;
+    the retry must discard it and rebuild from the current one, or a
+    segment ingested between the attempts silently vanishes."""
+    import os
+
+    from edgesearch_spark.build import IndexConfig
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+    root = str(tmp_path_factory.mktemp("crashretry"))
+    idx = IncrementalIndexer(spark, root, IndexConfig(block_size=8, salt_shift=4),
+                             order_cols=("doc_id",))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"content row {i}") for i in range(lo, hi)], "doc_id long, content string")
+    idx.ingest_batch(mk(0, 5), 0)
+    # simulate the crashed attempt: the gen-1 dir exists with COMMITTED
+    # stages for the old snapshot, but the manifest swap never happened
+    stale = os.path.join(root, "seg_compacted_000001")
+    idx.compact(stale, tombstone_files=[])
+    # a writer lands between the crash and the retry
+    idx.ingest_batch(mk(5, 10), 1)
+    out = idx.compact_in_place()
+    assert out is not None
+    eng = idx.engine()
+    assert eng.n_docs == 10
+    # the post-crash segment's content is present in the compacted store
+    assert eng._docs_df.filter("content = 'content row 7'").count() == 1
+
+
+def test_union_total_live_budget_routes_probe_distributed(spark, tmp_path_factory):
+    """Scattered tombstones against a LAZY union term must not pull shard
+    payloads to the driver past union_probe_budget_bytes: with budget 0 the
+    |union ∩ tombstones| count runs as one distributed job (driver probes
+    forbidden via monkeypatch) and the exact total is unchanged."""
+    from edgesearch_spark.engine import LazyTermPostings
+
+    root = str(tmp_path_factory.mktemp("probedist"))
+    idx = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    rows = [(f"d{i:04d}", "score " + f"word{i % 7}") for i in range(300)]
+    idx.ingest_batch(spark.createDataFrame(rows, "path string, content string"), 0)
+    idx.delete_docs(list(range(0, 300, 3)))  # scattered: hits every shard
+
+    def run():
+        eng = idx.engine()
+        eng.lazy_min_df = 10  # the union term serves lazily
+        eng._cache.clear()
+        return eng, eng.search_bm25_wand(Query.make(contain=["score"], k=5))
+
+    eng_a, a = run()  # driver-probe path (default budget)
+
+    orig = LazyTermPostings.lookup_tfs
+
+    deleted = np.arange(0, 300, 3)
+
+    def forbidden(self, doc_ids):
+        # scoring probes on candidates stay legal; only the TOMBSTONE
+        # membership probe is past-budget
+        if doc_ids.size == deleted.size and np.array_equal(doc_ids, deleted):
+            raise AssertionError("driver tombstone probe ran past the byte budget")
+        return orig(self, doc_ids)
+
+    type(eng_a).union_probe_budget_bytes = 0
+    LazyTermPostings.lookup_tfs = forbidden
+    try:
+        eng_b, b = run()
+    finally:
+        LazyTermPostings.lookup_tfs = orig
+        del type(eng_a).union_probe_budget_bytes
+    assert a.total == b.total == 300 - 100
+    assert list(a.doc_ids) == list(b.doc_ids)

@@ -505,3 +505,33 @@ def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
     assert eng3.bigram_postings_df() is None  # deletes: raw postings unsafe
     got3 = sorted(r["doc_id"] for r in index_phrase_search(eng3, "data value").collect())
     assert got3 == [d for d in got2 if d != got2[0]]
+
+
+def test_index_regex_routes_to_scan_when_overlong_runs_dropped(spark, tmp_path_factory):
+    """A >MAX_TERM_BYTES alphanumeric run is dropped from the token stream;
+    a literal living only inside it exists in no indexed term, so the
+    dictionary shortcut would prove a FALSE empty. The build records the
+    condition and the engine must route to the scan — the matching doc
+    comes back."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_regex_search
+
+    rows = [
+        (0, "q" * 260 + "abc tail words"),   # 'abc' only inside a dropped run
+        (1, "plain other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path_factory.mktemp("overlongidx"))
+    build_index(spark, df, out, IndexConfig(block_size=8, salt_shift=4),
+                doc_id_col="doc_id", content_col="content")
+    eng = SearchEngine(spark, out)
+    assert eng.stats["has_overlong_runs"] is True
+    got = sorted(r["doc_id"] for r in index_regex_search(eng, r"abc\w*").collect())
+    assert got == [0]
+
+
+def test_index_regex_stays_indexed_without_overlong_runs(spark, regex_index):
+    """The clean-corpus flag is False and the shortcut stays live: a literal
+    matching no dictionary term proves 0 matches without a scan."""
+    assert regex_index.stats["has_overlong_runs"] is False

@@ -44,7 +44,12 @@ def run_bench(cpus: int, docs: int) -> dict:
     # per-stage seconds and codec footprint live in the full-detail artifact
     try:
         with open(os.path.join(REPO, "BENCH", "last_run.json")) as f:
-            r["detail"] = json.load(f)["detail"]
+            full = json.load(f)["detail"]
+        # bench.py swallows OSError on that file's write — a stale file from
+        # the OTHER parallelism level would corrupt the A/B record, so only
+        # attach detail that self-identifies as this run's
+        if full.get("cores") == cpus and full.get("build_sec") == r["detail"]["build_sec"]:
+            r["detail"] = full
     except (OSError, ValueError, KeyError):
         pass
     return r
