@@ -400,9 +400,14 @@ def build_index(
             F.col(content_col).rlike(f"[a-zA-Z0-9]{{{MAX_TERM_BYTES + 1},}}"), 1
         ).otherwise(0)
         obs = Observation("overlong_runs")
-        (docs_df.select("doc_id", doc_length_col(content_col).alias("dl"), ol.alias("_ol"))
-                .observe(obs, F.max("_ol").alias("ol"))
-                .select("doc_id", "dl")
+        # the PER-DOC flag is stored in doclens (one tinyint-ish column):
+        # index_regex_search unions flagged docs into its candidate set, so
+        # regex stays index-accelerated on code/base64-heavy corpora instead
+        # of falling back to a full scan (the flagged set is the only place
+        # a literal can hide outside the dictionary)
+        (docs_df.select("doc_id", doc_length_col(content_col).alias("dl"),
+                        ol.cast("int").alias("ol"))
+                .observe(obs, F.max("ol").alias("ol"))
                 .write.mode("overwrite").parquet(doclens_path))
         tot = spark.read.parquet(doclens_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens")).collect()[0]

@@ -161,6 +161,7 @@ class NormsCache:
         lo = pid * self.page_docs
         hi = min(lo + self.page_docs, self.n_docs)
         tbl = self._dset.to_table(
+            columns=["doc_id", "dl"],
             filter=(self._ds.field("doc_id") >= lo) & (self._ds.field("doc_id") < hi))
         page = np.zeros(hi - lo, dtype=np.int32)
         if tbl.num_rows:
@@ -642,7 +643,7 @@ class SearchEngine:
                     page_docs=self.norms_page_docs,
                     max_pages=self.norms_max_pages)
             else:
-                pdf = self.spark.read.parquet(*self._doclens_dirs()).toPandas()
+                pdf = self.spark.read.parquet(*self._doclens_dirs()).select("doc_id", "dl").toPandas()
                 arr = np.zeros(self.n_docs, dtype=np.int32)
                 arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
                 self._doclens = arr
@@ -1026,7 +1027,19 @@ class SearchEngine:
         return pt.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)
 
     def _doclens_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/doclens")
+        # project away the per-doc overlong flag (regex-only metadata) so
+        # scoring joins never carry it through a shuffle
+        return self.spark.read.parquet(f"{self.index_dir}/doclens").select("doc_id", "dl")
+
+    def _overlong_docs_df(self) -> DataFrame | None:
+        """docIDs whose content holds a dropped (>MAX_TERM_BYTES)
+        alphanumeric run — the only docs where a regex literal can hide
+        outside the term dictionary. None when the index predates the
+        per-doc flag (0.3.1) — callers must then treat pruning as unsound."""
+        df = self.spark.read.parquet(f"{self.index_dir}/doclens")
+        if "ol" not in df.columns:
+            return None
+        return df.filter(F.col("ol") == 1).select("doc_id")
 
     def bigram_postings_df(self) -> DataFrame | None:
         """The hot-bigram common-grams sidecar (build stage 6), or None when

@@ -237,15 +237,22 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     the "no term contains literal => 0 matches" shortcut would then silently
     drop real matches. Those indexes route straight to the scan."""
     st = getattr(engine, "stats", {}) or {}
-    if (st.get("split_identifiers") or st.get("word_map")
-            # an alphanumeric run longer than MAX_TERM_BYTES is DROPPED from
-            # the token stream, so a literal occurring only inside one exists
-            # in no indexed term — the dictionary pruning would silently drop
-            # that doc. The build records whether any such run exists
-            # (stats stage Observation); a missing key (pre-r5 index) is
-            # treated as unknown ⇒ unsound ⇒ scan.
-            or st.get("has_overlong_runs", True)):
+    if st.get("split_identifiers") or st.get("word_map"):
         return regex_search(engine._docs_df, pattern, content_col=content_col)
+    # An alphanumeric run longer than MAX_TERM_BYTES is DROPPED from the
+    # token stream, so a literal occurring only inside one exists in no
+    # indexed term — dictionary pruning alone would silently drop that doc.
+    # The build flags such docs per-row in doclens (build stage 2); they are
+    # UNIONED into the candidate set, which restores soundness: every match
+    # either holds each literal in an indexed term (dict candidates) or
+    # carries a dropped run (flagged set). Code/base64-heavy corpora — the
+    # corpora that HAVE such runs — thus keep index acceleration. Only an
+    # index predating the flag (unknown membership) falls back to the scan.
+    ol_df = None
+    if st.get("has_overlong_runs", True):
+        ol_df = engine._overlong_docs_df()
+        if ol_df is None:
+            return regex_search(engine._docs_df, pattern, content_col=content_col)
     # a literal longer than MAX_TERM_BYTES cannot be a substring of any
     # indexed term even when the doc matches (over-long tokens are dropped
     # from the dictionary) — expanding it would be unsound, so ignore it
@@ -254,6 +261,7 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     lits = [l for l in required_literals(pattern)
             if len(l.encode("utf-8")) <= MAX_TERM_BYTES]
     groups: list[list[str]] = []
+    dict_impossible = False
     spark = engine.spark
     for lit in lits:
         if len(groups) >= max_literals:
@@ -266,22 +274,32 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
             continue  # unselective literal: skip it, stay sound
         terms = sorted({r["term"] for r in rows})
         if not terms:
-            # a required substring occurs in no indexed term ⇒ no doc matches
-            return spark.range(0).select(F.col("id").alias("doc_id"))
+            # a required substring occurs in no indexed term ⇒ no DICT doc
+            # matches; flagged overlong docs can still hide the literal
+            if ol_df is None:
+                return spark.range(0).select(F.col("id").alias("doc_id"))
+            groups = []
+            dict_impossible = True
+            break
         groups.append(terms)
-    if not groups:
+    if not groups and not dict_impossible:
         return regex_search(engine._docs_df, pattern, content_col=content_col)
-    mapping = [(t, gi) for gi, ts in enumerate(groups) for t in ts]
-    map_df = spark.createDataFrame(mapping, "term string, lit long")
-    all_terms = sorted({t for t, _ in mapping})
-    cands = (
-        engine._decoded_for(all_terms).select("term", "doc_id")
-        .join(F.broadcast(map_df), "term")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("lit").alias("nlit"))
-        .filter(F.col("nlit") == len(groups))
-        .select("doc_id")
-    )
+    if dict_impossible:
+        cands = ol_df
+    else:
+        mapping = [(t, gi) for gi, ts in enumerate(groups) for t in ts]
+        map_df = spark.createDataFrame(mapping, "term string, lit long")
+        all_terms = sorted({t for t, _ in mapping})
+        cands = (
+            engine._decoded_for(all_terms).select("term", "doc_id")
+            .join(F.broadcast(map_df), "term")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("lit").alias("nlit"))
+            .filter(F.col("nlit") == len(groups))
+            .select("doc_id")
+        )
+        if ol_df is not None:
+            cands = cands.unionByName(ol_df).distinct()
     cond = F.col(content_col).rlike(pattern)
     if "(?i" not in pattern:  # contains() is case-sensitive; skip under (?i)
         for t in lits[:4]:  # cheap substring check still fronts the regex

@@ -324,6 +324,7 @@ class MultiSegmentEngine(SearchEngine):
         stats = None
         n_docs = 0
         total_tokens = 0
+        overlong = False
         self._segment_avgdls: list[float] = []
         for s in segment_dirs:
             with open(os.path.join(s, "stats.json")) as f:
@@ -331,9 +332,13 @@ class MultiSegmentEngine(SearchEngine):
             stats = stats or st
             n_docs += st["n_docs"]
             total_tokens += st["total_tokens"]
+            # per-segment flags OR together: missing key = pre-0.3.1
+            # segment = unknown = treat as present (regex soundness guard)
+            overlong = overlong or bool(st.get("has_overlong_runs", True))
             self._segment_avgdls.append(float(st["avgdl"]))
         self.stats = {**stats, "n_docs": n_docs, "total_tokens": total_tokens,
-                      "avgdl": (total_tokens / n_docs) if n_docs else 0.0}
+                      "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+                      "has_overlong_runs": overlong}
         self.n_docs = n_docs
         self.k1 = self.stats["k1"]
         self.b = self.stats["b"]
@@ -381,7 +386,17 @@ class MultiSegmentEngine(SearchEngine):
         return list(self._segment_dirs)
 
     def _doclens_df(self):
-        return self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])
+        return (self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])
+                .select("doc_id", "dl"))
+
+    def _overlong_docs_df(self):
+        # sound only when EVERY segment carries the per-doc flag (a
+        # pre-0.3.1 segment could hide a literal invisibly)
+        for seg in self._segment_dirs:
+            if "ol" not in self.spark.read.parquet(f"{seg}/doclens").columns:
+                return None
+        return (self.spark.read.parquet(*[f"{s}/doclens" for s in self._segment_dirs])
+                .filter(F.col("ol") == 1).select("doc_id"))
 
     def _doclens_dirs(self):
         # base-class doclens property (eager array / paged NormsCache by

@@ -507,19 +507,23 @@ def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
     assert got3 == [d for d in got2 if d != got2[0]]
 
 
-def test_index_regex_routes_to_scan_when_overlong_runs_dropped(spark, tmp_path_factory):
+def test_index_regex_unions_overlong_docs_and_stays_pruned(spark, tmp_path_factory):
     """A >MAX_TERM_BYTES alphanumeric run is dropped from the token stream;
-    a literal living only inside it exists in no indexed term, so the
-    dictionary shortcut would prove a FALSE empty. The build records the
-    condition and the engine must route to the scan — the matching doc
-    comes back."""
+    a literal living only inside it exists in no indexed term, so pure
+    dictionary pruning would prove a FALSE empty. The build flags such docs
+    per-row in doclens; index_regex_search UNIONS the flagged set into its
+    candidates — matches inside dropped runs come back while UNflagged
+    non-matching docs stay out of the verify stage (still accelerated)."""
     from edgesearch_spark.build import IndexConfig, build_index
     from edgesearch_spark.engine import SearchEngine
     from edgesearch_spark.functions.textsearch import index_regex_search
 
     rows = [
-        (0, "q" * 260 + "abc tail words"),   # 'abc' only inside a dropped run
-        (1, "plain other text"),
+        (0, "q" * 260 + " abc tail words"),  # 'abc' token AND a dropped run
+        (1, "plain other text"),             # neither
+        (2, "z" * 300),                      # 'abc' hidden INSIDE a dropped run? no — flag only
+        (3, "the abcdef token here"),        # 'abc' inside an indexed term
+        (4, "x" * 280 + "abc" + "y" * 280),  # 'abc' only inside a dropped run
     ]
     df = spark.createDataFrame(rows, "doc_id long, content string")
     out = str(tmp_path_factory.mktemp("overlongidx"))
@@ -527,8 +531,18 @@ def test_index_regex_routes_to_scan_when_overlong_runs_dropped(spark, tmp_path_f
                 doc_id_col="doc_id", content_col="content")
     eng = SearchEngine(spark, out)
     assert eng.stats["has_overlong_runs"] is True
+    flagged = sorted(r["doc_id"] for r in eng._overlong_docs_df().collect())
+    assert flagged == [0, 2, 4]
+    from edgesearch_spark.functions.textsearch import regex_search
+
     got = sorted(r["doc_id"] for r in index_regex_search(eng, r"abc\w*").collect())
-    assert got == [0]
+    want = sorted(r["doc_id"] for r in regex_search(df, r"abc\w*").collect())
+    assert got == want == [0, 3, 4]
+    # dict-impossible + union: a literal in NO term still finds flagged docs
+    got2 = sorted(r["doc_id"] for r in index_regex_search(eng, r"xxabcyy").collect())
+    assert got2 == sorted(r["doc_id"] for r in regex_search(df, r"xxabcyy").collect())
+    # ...and proves empty instantly when the corpus has no dropped runs
+    # (covered by test_index_regex_no_literal_falls_back_and_absent_literal_short_circuits)
 
 
 def test_index_regex_stays_indexed_without_overlong_runs(spark, regex_index):
