@@ -1531,6 +1531,10 @@ LIMIT 20
 # dict order.  Newest / riskiest operators go first; long-stable entries whose
 # Spark plan is a literal SQL twin (set ops, pivots, plain aggregations) sit at
 # the tail where a driver cap costs the least signal.  VERDICT r4 "Next round" #2.
+# Driver-gate ordering policy: the official correctness gate evaluates the
+# FIRST 50 entries, so the newest / riskiest operators lead and the tail
+# (51+) holds only long-stable SQL twins with multiple rounds of green
+# history (tools/check_contract.py always runs all of them locally).
 QUERIES = {
     # --- newest index-engine surfaces (r4/r5) ---
     "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),
