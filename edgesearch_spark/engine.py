@@ -124,12 +124,17 @@ class NormsCache:
 
         import pyarrow.dataset as ds
 
-        files: list[str] = []
-        fs = None
+        # one child dataset PER DIR, each bound to its own filesystem
+        # (ADVICE r5: a shared `fs` from the last remote dir would resolve
+        # local / other-scheme segment paths against the wrong filesystem
+        # in a mixed multi-segment engine); union-ed below.
+        dsets = []
         for d in doclens_dirs:
             if "://" not in d or d.startswith("file://"):
                 local = d[len("file://"):] if d.startswith("file://") else d
-                files.extend(sorted(_glob.glob(os.path.join(local, "*.parquet"))))
+                files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+                if files:
+                    dsets.append(ds.dataset(files, format="parquet"))
             else:
                 # remote (hdfs://, s3a://) index dir: glob sees nothing —
                 # list through pyarrow's filesystem (bloom-sidecar posture)
@@ -138,14 +143,17 @@ class NormsCache:
                 uri = "s3://" + d[len("s3a://"):] if d.startswith("s3a://") else d
                 fs, rel = pafs.FileSystem.from_uri(uri)
                 infos = fs.get_file_info(pafs.FileSelector(rel, recursive=False))
-                files.extend(sorted(i.path for i in infos
-                                    if i.type == pafs.FileType.File
-                                    and i.path.endswith(".parquet")))
-        if not files and n_docs:
+                files = sorted(i.path for i in infos
+                               if i.type == pafs.FileType.File
+                               and i.path.endswith(".parquet"))
+                if files:
+                    dsets.append(ds.dataset(files, format="parquet", filesystem=fs))
+        if not dsets and n_docs:
             # an empty dataset would fail only at first query with an opaque
             # ArrowInvalid — fail construction loudly instead
             raise FileNotFoundError(f"no doclens parquet under {doclens_dirs}")
-        self._dset = ds.dataset(files, format="parquet", filesystem=fs)
+        self._dset = (None if not dsets
+                      else dsets[0] if len(dsets) == 1 else ds.dataset(dsets))
         self._ds = ds
         self.n_docs = int(n_docs)
         self.page_docs = int(page_docs)
@@ -160,6 +168,10 @@ class NormsCache:
             return pages[pid]
         lo = pid * self.page_docs
         hi = min(lo + self.page_docs, self.n_docs)
+        if self._dset is None:  # only reachable when n_docs == 0
+            page = np.zeros(max(hi - lo, 0), dtype=np.int32)
+            pages[pid] = page
+            return page
         tbl = self._dset.to_table(
             columns=["doc_id", "dl"],
             filter=(self._ds.field("doc_id") >= lo) & (self._ds.field("doc_id") < hi))

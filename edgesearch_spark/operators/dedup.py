@@ -360,6 +360,7 @@ def connected_components_star(
         if changed == 0:
             converged = True
             break
+    labels = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
     if not converged:
         warnings.warn(
             f"connected_components_star did not converge in {max_iter} rounds "
@@ -367,7 +368,12 @@ def connected_components_star(
             RuntimeWarning,
             stacklevel=2,
         )
-    labels = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+        # pre-fixpoint a node can still sit on several edges; emitting one
+        # row per EDGE would hand downstream cluster_split a doc in two
+        # splits (ADVICE r5) — collapse to one provisional label per node.
+        # At convergence the edge set is a star forest (one row per non-root
+        # node already), so the converged path stays shuffle-free.
+        labels = labels.groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
     if nodes is None:
         nodes = (
             edges.select(F.col(a_col).alias(id_col))

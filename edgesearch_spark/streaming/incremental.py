@@ -139,10 +139,23 @@ class IncrementalIndexer:
         the merge purged them) in the same os.replace that publishes the
         merged segment, so a crash anywhere leaves either the old view
         (segments + its tombstones) or the new one (no tombstones), never
-        stale tombstones applied to remapped docIDs."""
+        stale tombstones applied to remapped docIDs.
+
+        Migration (ADVICE r5): an index compacted under the PRE-gen-scoping
+        code has ``compaction_gen >= 1`` in its manifest but its deletes in
+        the legacy ``_tombstones`` dir. Resolving the gen-scoped name there
+        would silently resurrect every deleted doc (and compact-time cleanup
+        would never GC the legacy dir), so on first access we rename the
+        legacy dir to the gen-scoped name — atomic (os.rename, same fs),
+        one-time, and safe under the documented single-writer assumption."""
         gen = int(self.manifest().get("compaction_gen", 0))
-        name = "_tombstones" if gen == 0 else f"_tombstones_g{gen:06d}"
-        return os.path.join(self.root, name)
+        if gen == 0:
+            return os.path.join(self.root, "_tombstones")
+        d = os.path.join(self.root, f"_tombstones_g{gen:06d}")
+        legacy = os.path.join(self.root, "_tombstones")
+        if not os.path.exists(d) and os.path.exists(legacy):
+            os.rename(legacy, d)
+        return d
 
     def _tombstone_files(self) -> list[str]:
         import glob as _glob

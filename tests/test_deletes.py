@@ -398,3 +398,32 @@ def test_union_total_live_budget_routes_probe_distributed(spark, tmp_path_factor
         del type(eng_a).union_probe_budget_bytes
     assert a.total == b.total == 300 - 100
     assert list(a.doc_ids) == list(b.doc_ids)
+
+
+def test_legacy_tombstone_dir_migrates_after_compaction_gen(spark, tmp_path_factory):
+    """ADVICE r5: an index compacted under the pre-gen-scoping code keeps
+    its deletes in the legacy '_tombstones' dir while the manifest already
+    says compaction_gen >= 1. The gen-scoped resolver must pick those up
+    (one-time atomic rename), not silently resurrect deleted docs — and the
+    next compaction must GC them."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("legacytomb"))
+    idx = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    rows = [(f"p{i:03d}", f"target fill{i}") for i in range(60)]
+    idx.ingest_batch(spark.createDataFrame(rows, "path string, content string"), 0)
+    assert idx.compact_in_place() is not None          # gen -> 1
+    idx.delete_docs([1, 2])                             # lands gen-scoped
+    gen_dir = idx._tombstone_dir
+    legacy = os.path.join(root, "_tombstones")
+    os.rename(gen_dir, legacy)                          # simulate legacy layout
+
+    idx2 = IncrementalIndexer(spark, root, CFG, order_cols=("path",), content_col="content")
+    assert idx2.deleted_ids() == [1, 2]                 # migration found them
+    assert not os.path.exists(legacy) and os.path.exists(gen_dir)
+    res = idx2.engine().search(Query.make(require=["target"], k=500))
+    assert 1 not in res.doc_ids and 2 not in res.doc_ids
+
+    assert idx2.compact_in_place() is not None          # gen -> 2, purges
+    assert not os.path.exists(legacy) and not os.path.exists(gen_dir)
+    assert idx2.engine().n_docs == 58

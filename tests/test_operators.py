@@ -430,3 +430,20 @@ def test_cluster_split_no_leakage_and_deterministic(spark):
     first = {r["doc_id"]: r["split"] for r in split.collect()}
     assert first == again
     assert set(first.values()) == {"train", "validation", "test"}
+
+
+def test_connected_components_star_one_row_per_node_when_not_converged(spark):
+    """ADVICE r5: pre-fixpoint the edge set can mention a node on several
+    edges; the output must still be one (provisional) label per node, or
+    downstream cluster_split would put one doc in two splits — the exact
+    leakage it exists to prevent."""
+    import warnings
+
+    from edgesearch_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components_star(edges, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert sorted(r["doc_id"] for r in out) == list(range(13))

@@ -178,3 +178,25 @@ def test_paged_norms_identical_and_touch_only_candidate_ranges(spark, engine):
     got = fresh.doclens[np.array([3, 17, 60])]
     assert fresh.doclens.pages_fetched == 1
     assert list(got) == list(engine.doclens[np.array([3, 17, 60])])
+
+
+def test_norms_cache_unions_dirs_with_independent_filesystems(tmp_path):
+    """ADVICE r5: NormsCache must bind each doclens dir to its OWN
+    filesystem (per-dir child datasets, union-ed), not resolve every path
+    against whichever filesystem the last dir in the list produced."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgesearch_spark.engine import NormsCache
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    pq.write_table(pa.table({"doc_id": [0, 1, 2], "dl": [10, 11, 12]}),
+                   d1 / "part-0.parquet")
+    pq.write_table(pa.table({"doc_id": [3, 4], "dl": [13, 14]}),
+                   d2 / "part-0.parquet")
+    nc = NormsCache([str(d1), "file://" + str(d2)], n_docs=5, page_docs=4)
+    got = nc[np.array([0, 4, 2, 3])]
+    assert list(got) == [10, 14, 12, 13]
+    assert nc.pages_fetched == 2  # docs span two pages, both served
