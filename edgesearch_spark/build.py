@@ -56,6 +56,60 @@ POSTINGS_SCHEMA = (
     "block_max_tf array<int>, payload binary"
 )
 
+POSITIONS_SCHEMA = "term string, salt long, df long, payload binary"
+
+
+def make_positions_encoder(salt_shift: int = 16):
+    """mapInPandas over a (term, doc-range)-hash-partitioned,
+    (term, doc_id, pos)-sorted position stream: (term, salt) group
+    boundaries found vectorized, carry buffer stitches groups spanning
+    Arrow batches (make_stream_encoder's shape, positional payload)."""
+    from .codec import encode_positions_groups
+
+    def _emit(terms, salts, docs, poss, gstarts) -> pd.DataFrame:
+        payloads, nd = encode_positions_groups(docs, poss, gstarts)
+        return pd.DataFrame(
+            {
+                "term": terms[gstarts],
+                "salt": salts[gstarts],
+                "df": nd,
+                "payload": payloads,
+            }
+        )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["doc_id"].to_numpy(np.int64) >> salt_shift
+            chg = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            if chg.size == 0:
+                carry = pdf
+                continue
+            last_head = chg[-1]
+            carry = pdf.iloc[last_head:]
+            head = pdf.iloc[:last_head]
+            yield _emit(
+                terms[:last_head], salts[:last_head],
+                head["doc_id"].to_numpy(np.int64), head["pos"].to_numpy(np.int64),
+                np.concatenate([[0], chg[:-1]]).astype(np.int64),
+            )
+        if carry is not None and len(carry):
+            terms = carry["term"].to_numpy()
+            salts = carry["doc_id"].to_numpy(np.int64) >> salt_shift
+            chg = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            yield _emit(
+                terms, salts,
+                carry["doc_id"].to_numpy(np.int64), carry["pos"].to_numpy(np.int64),
+                np.concatenate([[0], chg]).astype(np.int64),
+            )
+
+    return encode
+
 
 @dataclass
 class IndexConfig:
@@ -94,6 +148,14 @@ class IndexConfig:
     # sidecar. Hot-term count is bounded by total_postings / bigram_min_df,
     # so the driver-collected hot list stays metadata-scale by construction.
     bigram_min_df: int | None = None
+    # positional sidecar: per-(term, salt) delta-varint position blobs
+    # (positions = 0-based indexes into the drop-filtered token stream).
+    # Enables exact arbitrary-length phrase match and NEAR/slop proximity
+    # queries straight from the index — no docs-store verify join — and,
+    # unlike the bigram sidecar, is sound on normalized builds (word_map /
+    # field_prefix / split_identifiers): positions live in the NORMALIZED
+    # stream, the same stream the postings index.
+    positions: bool = False
 
 
 @dataclass
@@ -673,5 +735,56 @@ def build_index(
                           "min_df": cfg.bigram_min_df})
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": docs_path, "output": bigram_path})
+
+    # ---- stage 7 (optional): positional sidecar ----
+    # Per-(term, salt) delta-varint position blobs (codec.
+    # encode_positions_groups). Positions are 0-based indexes into the
+    # drop-filtered, NORMALIZED token stream — posexplode over the same
+    # token expression the tokenizers index — so position adjacency is
+    # exactly phrase adjacency and the sidecar is sound on word_map /
+    # field_prefix / split_identifiers builds (where the bigram sidecar
+    # must refuse). Same salt scheme as postings: shard merge stays pure
+    # concatenation, the scan prunes on the range-sorted term column, and
+    # the skew cap (2^salt_shift docs per shard) carries over.
+    if cfg.positions and not stage("positions"):
+        from .tokenizer import norm_tokens_col
+
+        t0 = time.monotonic()
+        pdocs = spark.read.parquet(docs_path)
+        if cfg.split_identifiers:
+            from .functions.code import identifier_marked_col
+
+            pdocs = pdocs.withColumn(content_col, identifier_marked_col(content_col))
+        ts = norm_tokens_col(content_col, cfg.word_map, cfg.field_prefix)
+        pos_rows = pdocs.select(
+            "doc_id", F.posexplode(ts).alias("pos", "term")
+        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+        stream = pos_rows.repartition(
+            4 * n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
+        ).sortWithinPartitions("term", "doc_id", "pos")
+        positions_path = os.path.join(out_dir, "positions")
+        (stream.mapInPandas(make_positions_encoder(cfg.salt_shift),
+                            schema=POSITIONS_SCHEMA)
+               .repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+               .write.mode("overwrite")
+               .option("parquet.block.size", cfg.target_rowgroup_bytes)
+               .parquet(positions_path))
+        agg = spark.read.parquet(positions_path).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
+            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
+        # engine detects the sidecar from stats.json, never a fs probe
+        stats_path = os.path.join(out_dir, "stats.json")
+        with open(stats_path) as f:
+            st = json.load(f)
+        st["positions"] = True
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        dt = time.monotonic() - t0
+        m = StageMetrics("positions", int(agg["rows"]), dt,
+                         {"total_postings": int(agg["postings"] or 0),
+                          "payload_bytes": int(agg["bytes"] or 0)})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": positions_path})
 
     return metrics

@@ -516,3 +516,104 @@ def concat_blocks(parts: list[PostingBlocks]) -> PostingBlocks:
         max_tf=(np.concatenate([p.max_tf for p in parts])
                 if all(p.max_tf is not None for p in parts) else None),
     )
+
+
+# ---- positional sidecar codec (IndexConfig.positions) ----
+# Per-(term, salt) shard payload, three varint segments:
+#
+#   [doc gaps]   ndocs values — first doc absolute, then doc - prev - 1
+#   [npos - 1]   ndocs values — per-doc position count minus one
+#   [pos deltas] Σnpos values — per doc: first position absolute, then
+#                pos - prev - 1 (positions are kept-token indexes, strictly
+#                increasing within a doc)
+#
+# ndocs itself is NOT in the payload — it rides the shard row's ``df``
+# column, mirroring the postings table. The segmented (non-interleaved)
+# layout is what keeps decode fully vectorized: one decode_varint pass,
+# then three array slices and a cumsum-with-per-doc-base reconstruction —
+# an interleaved [gap, npos, deltas…]* stream would force a sequential
+# walk over docs. Positions are 0-based indexes into the DROP-FILTERED
+# token stream (tokenizer._tokens_col order), so adjacency of positions is
+# exactly the phrase adjacency phrase_col tests.
+
+
+def encode_positions_groups(
+    docs_flat: np.ndarray, pos_flat: np.ndarray, group_starts: np.ndarray
+) -> tuple[list[bytes], np.ndarray]:
+    """Encode MANY (term, salt) position shards in one vectorized pass.
+
+    ``docs_flat``/``pos_flat`` hold one row per position occurrence, sorted
+    by (group, doc_id, pos); ``group_starts`` indexes each group's first
+    row. Returns (payload per group, ndocs per group). All numpy — the only
+    Python loop is the final per-group byte slice."""
+    docs_flat = np.ascontiguousarray(docs_flat, np.int64)
+    pos_flat = np.ascontiguousarray(pos_flat, np.int64)
+    gs = np.asarray(group_starts, np.int64)
+    n, G = docs_flat.size, gs.size
+    if n == 0 or G == 0:
+        return [], np.empty(0, np.int64)
+    group_head = np.zeros(n, dtype=bool)
+    group_head[gs] = True
+    doc_head = group_head.copy()
+    doc_head[1:] |= docs_flat[1:] != docs_flat[:-1]
+    dh = np.flatnonzero(doc_head)
+    nd_total = dh.size
+    docs_u = docs_flat[dh]
+    npos = np.diff(np.append(dh, n))
+    pos_per_group = np.diff(np.append(gs, n))
+    nd_per_group = np.add.reduceat(doc_head.astype(np.int64), gs)
+    gid_per_doc = np.repeat(np.arange(G), nd_per_group)
+    gdoc0 = np.concatenate([[0], np.cumsum(nd_per_group)[:-1]])
+    j = np.arange(nd_total) - gdoc0[gid_per_doc]
+
+    prev_doc = np.empty(nd_total, np.int64)
+    prev_doc[1:] = docs_u[:-1]
+    prev_doc[j == 0] = -1
+    gaps = docs_u - prev_doc - 1
+    if (gaps < 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a group")
+    deltas = np.empty(n, np.int64)
+    deltas[1:] = pos_flat[1:] - pos_flat[:-1] - 1
+    deltas[dh] = pos_flat[dh]
+    if (deltas < 0).any():
+        raise ValueError("positions must be strictly increasing within a doc, ≥ 0")
+
+    vals_per_group = 2 * nd_per_group + pos_per_group
+    vstart = np.concatenate([[0], np.cumsum(vals_per_group)[:-1]])
+    values = np.empty(int(vals_per_group.sum()), dtype=_U64)
+    values[vstart[gid_per_doc] + j] = gaps.astype(_U64)
+    values[vstart[gid_per_doc] + nd_per_group[gid_per_doc] + j] = (npos - 1).astype(_U64)
+    gid_per_row = np.repeat(np.arange(G), pos_per_group)
+    values[
+        vstart[gid_per_row] + 2 * nd_per_group[gid_per_row] + (np.arange(n) - gs[gid_per_row])
+    ] = deltas.astype(_U64)
+
+    blob = encode_varint(values)
+    nbytes = _varint_len(values)
+    bytes_per_group = np.add.reduceat(nbytes, vstart)
+    bstart = np.concatenate([[0], np.cumsum(bytes_per_group)])
+    mv = memoryview(blob)
+    payloads = [bytes(mv[bstart[g]:bstart[g + 1]]) for g in range(G)]
+    return payloads, nd_per_group
+
+
+def decode_positions(payload: bytes, ndocs: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one shard payload → (doc_ids int64[nd], npos int64[nd],
+    positions int64[Σnpos]); ``positions`` is doc-major, split by npos."""
+    nd = int(ndocs)
+    if nd == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    vals = decode_varint(payload).astype(np.int64)
+    gaps = vals[:nd]
+    npos = vals[nd:2 * nd] + 1
+    deltas = vals[2 * nd:]
+    docs = np.cumsum(gaps + 1) - 1
+    h = np.concatenate([[0], np.cumsum(npos)[:-1]]).astype(np.int64)
+    adj = deltas + 1
+    adj[h] = deltas[h]
+    csum = np.cumsum(adj)
+    base = csum[h] - adj[h]
+    pid = np.repeat(np.arange(nd), npos)
+    pos = csum - base[pid]
+    return docs, npos, pos

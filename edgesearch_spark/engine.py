@@ -1063,6 +1063,35 @@ class SearchEngine:
             self._bigram_df = self.spark.read.parquet(f"{self.index_dir}/bigram_postings")
         return self._bigram_df
 
+    def positions_df(self) -> DataFrame | None:
+        """The positional sidecar (build stage 7), or None when the index
+        was built without one. Presence from stats.json, not a fs probe."""
+        if not self.stats.get("positions"):
+            return None
+        if not hasattr(self, "_positions_df"):
+            self._positions_df = self.spark.read.parquet(f"{self.index_dir}/positions")
+        return self._positions_df
+
+    def _decoded_positions_for(self, terms: list[str]) -> DataFrame | None:
+        """(term, doc_id, positions array<long>) rows for the given terms,
+        decoded executor-side off the positional sidecar (scan pruned by the
+        term filter — the same pruned-fetch shape as _decoded_for). None
+        when the index carries no sidecar."""
+        from .sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
+
+        pt = self.positions_df()
+        if pt is None:
+            return None
+        pruned = pt.filter(F.col("term").isin(terms)).select("term", "df", "payload")
+        return pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
+
+    def _live_filter_df(self, df: DataFrame) -> DataFrame:
+        """Visibility-filter a (doc_id, …) DataFrame against tombstones.
+        Identity on a plain engine; MultiSegmentEngine anti-joins deletes —
+        positional/sidecar plans call this so their results honor
+        Lucene-live-docs semantics like every other result surface."""
+        return df
+
     def _matched_docs_df(self, q: Query, tp: dict, scored: bool) -> DataFrame:
         """(doc_id, score) rows satisfying the boolean clauses — the
         distributed twin of _bool_kernel (+ BM25 partials when scored).

@@ -403,3 +403,148 @@ def snippet_col(content_col: str, terms: list[str], radius: int = 30) -> Column:
     start = F.greatest(F.when(first == 2_147_483_647, F.lit(1))
                         .otherwise(first - radius), F.lit(1))
     return F.substring(F.col(content_col), start.cast("int"), 2 * radius)
+
+
+# ---- positional-sidecar query operators (IndexConfig.positions) ----
+
+def _position_arrays(engine, terms: list[str]):
+    """(doc_id, p0 … p{n-1}) — one position array per DISTINCT term, for
+    docs holding EVERY term — off the positional sidecar's pruned scan.
+    ONE shuffle total: a single conditional aggregation pivots the decoded
+    (term, doc_id, positions) rows into per-term columns (collect_list
+    skips the when()'s nulls), and the all-terms-present intersection is a
+    size()>0 conjunction — no per-term groupBy, no join chain (n-way joins
+    would shuffle n times at 100 TB). Shard rows per (salt[, segment])
+    flatten into one array; sort_array restores global position order
+    across segment unions. Returns (distinct terms, DataFrame | None)."""
+    distinct = list(dict.fromkeys(terms))
+    dec = engine._decoded_positions_for(distinct)
+    if dec is None:
+        return distinct, None
+    aggs = [
+        F.sort_array(F.flatten(F.collect_list(
+            F.when(F.col("term") == F.lit(t), F.col("positions"))
+        ))).alias(f"p{i}")
+        for i, t in enumerate(distinct)
+    ]
+    joined = dec.groupBy("doc_id").agg(*aggs)
+    for i in range(len(distinct)):
+        joined = joined.filter(F.size(F.col(f"p{i}")) > 0)
+    return distinct, joined
+
+
+def index_phrase_search_positions(engine, phrase: str,
+                                  content_col: str = "content") -> DataFrame:
+    """EXACT phrase match straight from the positional sidecar — no
+    docs-store fetch, no verify join (the sidecar extends the reference's
+    verify-free bitmap-membership exactness, wasm/index.c:80-104, to
+    adjacency):
+
+      fetch     — per distinct phrase term, position arrays off the pruned
+                  (term-filtered, range-sorted) positions scan;
+      intersect — inner joins on doc_id AND the doc sets (docs missing any
+                  term fall out before any position work);
+      adjacency — one JVM higher-order exists: some p in P(t0) with
+                  p+i ∈ P(ti) for every i — whole-stage codegen over
+                  arrays, no UDF, no shuffle beyond the per-term groupBys.
+
+    Positions are kept-token indexes of the NORMALIZED stream, so this is
+    sound on word_map / field_prefix / split_identifiers builds where the
+    bigram sidecar must refuse. Falls back to index_phrase_search when the
+    index has no sidecar. Results honor live-docs (tombstone) semantics."""
+    from functools import reduce
+
+    terms = [t.lower() for t in _WORD.findall(phrase)]
+    if not terms:
+        raise ValueError("empty phrase")
+    spark = engine.spark
+    if len(terms) == 1:
+        from ..oracle import Query
+
+        return engine.search_df(Query.make(require=terms)).select("doc_id")
+    distinct, joined = _position_arrays(engine, terms)
+    if joined is None:
+        return index_phrase_search(engine, phrase, content_col=content_col)
+    tp = engine.fetch_terms(distinct)
+    if any(tp[t] is None for t in distinct):
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    col_of = {t: f"p{distinct.index(t)}" for t in distinct}
+    rest = [(F.col(col_of[t]), i) for i, t in enumerate(terms)][1:]
+    cond = F.exists(
+        F.col(col_of[terms[0]]),
+        lambda p: reduce(lambda a, b: a & b,
+                         [F.array_contains(arr, p + F.lit(i)) for arr, i in rest]),
+    )
+    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
+
+
+def _near_window_cond(n_arrays: int, slop: int) -> Column:
+    """Unordered-window condition over per-term position arrays p0..p{n-1}:
+    true iff one position per array fits in a window of ``slop`` (max pick
+    − min pick ≤ slop). Anchored on the MINIMUM pick: some array i holds an
+    anchor p with, for every other array j, a position in [p, p+slop] —
+    provably equivalent to max−min ≤ slop (the min pick is itself a pick),
+    and only TWO lambda nesting levels with distinct variable names (deeper
+    per-term nesting would shadow same-named outer lambda variables)."""
+    from functools import reduce
+
+    def anchored_at(i: int) -> Column:
+        others = [F.col(f"p{j}") for j in range(n_arrays) if j != i]
+        return F.exists(
+            F.col(f"p{i}"),
+            lambda p: reduce(
+                lambda a, b: a & b,
+                [F.exists(arr, lambda q: (q >= p) & (q <= p + F.lit(slop)))
+                 for arr in others],
+            ),
+        )
+
+    return reduce(lambda a, b: a | b, [anchored_at(i) for i in range(n_arrays)])
+
+
+def index_near_search(engine, terms: list[str], slop: int) -> DataFrame:
+    """Unordered NEAR/slop proximity off the positional sidecar: docs where
+    one occurrence of EVERY distinct term fits inside a window of ``slop``
+    kept-token positions (max chosen position − min ≤ slop). Same
+    fetch/intersect shape as index_phrase_search_positions; the window test
+    is a two-level JVM higher-order exists (see _near_window_cond), no UDF.
+
+    ``slop`` counts TOKEN distance in the kept stream: a phrase of n
+    adjacent terms satisfies slop = n − 1. Raises on an index without the
+    sidecar — near_search is the scan-side twin for that case."""
+    distinct = [t.lower() for t in dict.fromkeys(terms)]
+    if len(distinct) < 2:
+        raise ValueError("NEAR needs at least two distinct terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    spark = engine.spark
+    _, joined = _position_arrays(engine, distinct)
+    if joined is None:
+        raise ValueError("index has no positional sidecar (IndexConfig.positions)")
+    tp = engine.fetch_terms(distinct)
+    if any(tp[t] is None for t in distinct):
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    cond = _near_window_cond(len(distinct), slop)
+    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
+
+
+def near_search(docs: DataFrame, terms: list[str], slop: int,
+                id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Scan-side NEAR/slop twin (no index): tokenize, build per-term
+    position lists with an index-aware transform, apply the identical
+    unordered-window condition — the oracle-able reference semantics for
+    index_near_search."""
+    distinct = [t.lower() for t in dict.fromkeys(terms)]
+    if len(distinct) < 2:
+        raise ValueError("NEAR needs at least two distinct terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    with_pos = docs.withColumn("__ts", _tokens_col(content_col))
+    for i, t in enumerate(distinct):
+        plist = F.filter(
+            F.transform(F.col("__ts"), lambda x, j: F.when(x == F.lit(t), j.cast("long"))),
+            lambda v: v.isNotNull(),
+        )
+        with_pos = with_pos.withColumn(f"p{i}", plist)
+    cond = _near_window_cond(len(distinct), slop)
+    return with_pos.filter(cond).select(id_col)

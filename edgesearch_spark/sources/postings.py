@@ -70,6 +70,36 @@ def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+POS_DECODED_SCHEMA = "term string, doc_id long, positions array<long>"
+
+
+def _decode_pos_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Positional-sidecar decode: one input row per (term, salt) shard →
+    one output row per doc with its position array (0-based kept-token
+    indexes). The per-shard decode is fully vectorized (decode_positions);
+    the Python loop runs over shard rows only — the same granularity as
+    _decode_rows."""
+    from ..codec import decode_positions
+
+    for pdf in batches:
+        terms: list[str] = []
+        docs: list[np.ndarray] = []
+        plists: list[np.ndarray] = []
+        for term, df_, payload in zip(pdf["term"], pdf["df"], pdf["payload"]):
+            d, npos, pos = decode_positions(bytes(payload), int(df_))
+            terms.append(term)
+            docs.append(d)
+            plists.extend(np.split(pos, np.cumsum(npos)[:-1]))
+        n = [len(d) for d in docs]
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(np.array(terms, dtype=object), n),
+                "doc_id": np.concatenate(docs) if docs else np.empty(0, np.int64),
+                "positions": plists,
+            }
+        )
+
+
 def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | None = None) -> DataFrame:
     """(term, doc_id, tf) rows. Pass ``terms`` to prune the scan (pushdown)."""
     pt = postings_table(spark, index_dir)

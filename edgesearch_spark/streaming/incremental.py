@@ -395,6 +395,29 @@ class MultiSegmentEngine(SearchEngine):
             return self._bigram_df
         return None
 
+    def positions_df(self):
+        # Positions are per-doc data keyed by GLOBAL docIDs (segments build
+        # at their docID-space offset), so segment sidecars union soundly —
+        # unlike the bigram sidecar, whose hot-pair selection is df-
+        # threshold-relative. Served only when EVERY segment carries one
+        # (an uncovered segment would silently drop its matches). Deletes
+        # are handled by _live_filter_df at the result surface.
+        if not hasattr(self, "_positions_union_df"):
+            self._positions_union_df = None
+            if all(self._segment_stats_flag(s, "positions") for s in self._segment_dirs):
+                self._positions_union_df = self.spark.read.parquet(
+                    *[f"{s}/positions" for s in self._segment_dirs])
+        return self._positions_union_df
+
+    def _segment_stats_flag(self, seg_dir: str, key: str):
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            return json.load(f).get(key)
+
+    def _live_filter_df(self, df):
+        if not self._has_deletes:
+            return df
+        return df.join(self._tombstones_df(), "doc_id", "left_anti")
+
     def _bloom_dirs(self):
         return list(self._segment_dirs)
 

@@ -41,6 +41,25 @@ def _tokens_col(content_col: str) -> F.Column:
     return F.filter(toks, lambda t: (t != F.lit("")) & (F.octet_length(t) <= MAX_TERM_BYTES))
 
 
+def norm_tokens_col(
+    content_col: str,
+    word_map: dict[str, str] | None = None,
+    field_prefix: str | None = None,
+) -> F.Column:
+    """The token array WITH the demo-convention normalizations applied —
+    pure JVM (create_map lookup + transform), so position-aware consumers
+    (the positional sidecar) see the same normalized stream the pandas /
+    Arrow tokenizers index, in kept-token order. word_map rewrites happen
+    per token (position-preserving); field_prefix prepends `{field}_`."""
+    ts = _tokens_col(content_col)
+    if word_map:
+        m = F.create_map(*[F.lit(x) for kv in word_map.items() for x in kv])
+        ts = F.transform(ts, lambda t: F.coalesce(m[t], t))
+    if field_prefix:
+        ts = F.transform(ts, lambda t: F.concat(F.lit(f"{field_prefix}_"), t))
+    return ts
+
+
 def doc_length_col(content_col: str) -> F.Column:
     """Token count per document (BM25 dl) as a single regexp_count — ~40×
     faster than size(filter(split(…))), whose higher-order filter lambda

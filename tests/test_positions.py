@@ -1,0 +1,223 @@
+"""Positional sidecar (IndexConfig.positions, build stage 7): codec
+round-trips, exact phrase / NEAR-slop parity against scan-side twins,
+normalized-build soundness (where the bigram sidecar must refuse),
+multi-segment union + tombstone visibility, and the verify-free plan
+shape (no docs-store scan anywhere in the positional phrase plan)."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from edgesearch_spark.build import IndexConfig, build_index
+from edgesearch_spark.engine import SearchEngine
+from edgesearch_spark.functions.textsearch import (
+    index_near_search,
+    index_phrase_search_positions,
+    near_search,
+    phrase_search,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "import",
+         "return", "self", "def", "stream", "column"]
+
+
+def _corpus_rows(n=400, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(5, 40))]
+        if i % 7 == 0:
+            k = rng.randint(0, len(words) - 3)
+            words[k:k + 3] = ["alpha", "beta", "gamma"]
+        rows.append((f"r{i // 50}", f"p{i:04d}", "c0", "py",
+                     " ".join(words) + f" tail{i}"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    corpus = spark.createDataFrame(
+        _corpus_rows(), "repo string, path string, commit string, lang string, content string")
+    build_index(spark, corpus, out,
+                IndexConfig(block_size=16, salt_shift=7, positions=True),
+                order_cols=("repo", "path", "commit"))
+    return out
+
+
+def test_positions_codec_roundtrip():
+    from edgesearch_spark.codec import decode_positions, encode_positions_groups
+
+    rng = np.random.default_rng(11)
+    all_docs, all_pos, gstarts, truth = [], [], [], []
+    row = 0
+    for g in range(80):
+        gstarts.append(row)
+        nd = int(rng.integers(1, 9))
+        docs = np.sort(rng.choice(np.arange(g * 977, g * 977 + 700), nd, replace=False))
+        gt = []
+        for d in docs:
+            k = int(rng.integers(1, 12))
+            ps = np.sort(rng.choice(np.arange(0, 500), k, replace=False))
+            all_docs.extend([int(d)] * k)
+            all_pos.extend(ps.tolist())
+            row += k
+            gt.append((int(d), ps.tolist()))
+        truth.append(gt)
+    payloads, nds = encode_positions_groups(
+        np.array(all_docs), np.array(all_pos), np.array(gstarts))
+    assert len(payloads) == 80
+    for g, (pl, nd) in enumerate(zip(payloads, nds)):
+        docs, npos, pos = decode_positions(pl, nd)
+        got = [(int(d), s.tolist())
+               for d, s in zip(docs, np.split(pos, np.cumsum(npos)[:-1]))]
+        assert got == truth[g]
+    # unsorted input must be rejected, not silently mis-encoded
+    with pytest.raises(ValueError):
+        encode_positions_groups(np.array([5, 3]), np.array([0, 0]), np.array([0]))
+    with pytest.raises(ValueError):
+        encode_positions_groups(np.array([5, 5]), np.array([4, 2]), np.array([0]))
+
+
+def test_positional_phrase_matches_scan_twin(spark, pos_index):
+    eng = SearchEngine(spark, pos_index)
+    assert eng.stats.get("positions") is True
+    docs = eng._docs_df
+    for phrase in ("alpha beta gamma", "alpha beta", "alpha beta alpha",
+                   "beta gamma delta"):
+        got = sorted(r["doc_id"] for r in
+                     index_phrase_search_positions(eng, phrase).collect())
+        want = sorted(r["doc_id"] for r in phrase_search(docs, phrase).collect())
+        assert got == want, phrase
+    assert got, "last phrase should have matches"  # non-vacuous suite
+    # missing term → proven empty, single term → membership
+    assert index_phrase_search_positions(eng, "alpha zz_nope").count() == 0
+    one = sorted(r["doc_id"] for r in
+                 index_phrase_search_positions(eng, "epsilon").collect())
+    want1 = sorted(r["doc_id"] for r in phrase_search(docs, "epsilon").collect())
+    assert one == want1
+
+
+def test_positional_near_matches_scan_twin(spark, pos_index):
+    eng = SearchEngine(spark, pos_index)
+    docs = eng._docs_df
+    nonzero = 0
+    for terms, slop in ((["alpha", "gamma", "zeta"], 2),
+                        (["alpha", "gamma", "zeta"], 6),
+                        (["delta", "import"], 1),
+                        (["delta", "import"], 10)):
+        got = sorted(r["doc_id"] for r in index_near_search(eng, terms, slop).collect())
+        want = sorted(r["doc_id"] for r in near_search(docs, terms, slop).collect())
+        assert got == want, (terms, slop)
+        nonzero += bool(got)
+    assert nonzero >= 2
+    # phrase adjacency implies slop = n-1
+    ph = set(r["doc_id"] for r in
+             index_phrase_search_positions(eng, "alpha beta gamma").collect())
+    nr = set(r["doc_id"] for r in
+             index_near_search(eng, ["alpha", "beta", "gamma"], 2).collect())
+    assert ph <= nr
+    with pytest.raises(ValueError):
+        index_near_search(eng, ["alpha"], 3)
+    with pytest.raises(ValueError):
+        index_near_search(eng, ["alpha", "beta"], -1)
+
+
+def test_positions_sound_on_normalized_build(spark, tmp_path_factory):
+    """The sidecar's raison d'être vs bigrams: positions live in the
+    NORMALIZED token stream, so phrase/NEAR work on split_identifiers
+    builds (where the bigram sidecar must refuse) — 'user name' finds
+    getUserName."""
+    out = str(tmp_path_factory.mktemp("posnorm") / "idx")
+    rows = [("a", f"p{i}", "c", "py",
+             f"def getUserName(self): return self.userName or fallback{i}")
+            for i in range(20)]
+    rows += [("a", f"q{i}", "c", "py", f"unrelated tokens only here {i}")
+             for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    build_index(spark, corpus, out,
+                IndexConfig(block_size=16, salt_shift=7, positions=True,
+                            split_identifiers=True),
+                order_cols=("repo", "path", "commit"))
+    eng = SearchEngine(spark, out)
+    got = sorted(r["doc_id"] for r in
+                 index_phrase_search_positions(eng, "user name").collect())
+    assert len(got) == 20  # every getUserName doc, none of the others
+    near = sorted(r["doc_id"] for r in
+                  index_near_search(eng, ["get", "name"], 2).collect())
+    assert near == got
+
+
+def test_positions_resume_adds_stage(spark, tmp_path_factory):
+    """resume=True on an index built WITHOUT positions adds only the new
+    stage (no rebuild) — the bigram sidecar's lifecycle, stage 7 edition."""
+    out = str(tmp_path_factory.mktemp("posresume") / "idx")
+    corpus = spark.createDataFrame(
+        _corpus_rows(120), "repo string, path string, commit string, lang string, content string")
+    build_index(spark, corpus, out, IndexConfig(block_size=16, salt_shift=7),
+                order_cols=("repo", "path", "commit"))
+    eng0 = SearchEngine(spark, out)
+    assert eng0.positions_df() is None
+    m = build_index(spark, corpus, out,
+                    IndexConfig(block_size=16, salt_shift=7, positions=True),
+                    order_cols=("repo", "path", "commit"), resume=True)
+    assert [x.stage for x in m] == ["positions"]
+    eng = SearchEngine(spark, out)
+    got = sorted(r["doc_id"] for r in
+                 index_phrase_search_positions(eng, "alpha beta gamma").collect())
+    want = sorted(r["doc_id"] for r in
+                  phrase_search(eng._docs_df, "alpha beta gamma").collect())
+    assert got == want and got
+
+
+def test_positions_multisegment_union_and_deletes(spark, tmp_path_factory):
+    """Per-segment positional sidecars union soundly (positions key on
+    GLOBAL docIDs), and results honor live-docs semantics: deleted docs
+    drop out of positional phrase/NEAR results immediately."""
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+    root = str(tmp_path_factory.mktemp("posseg"))
+    cfg = IndexConfig(block_size=16, salt_shift=7, positions=True)
+    idx = IncrementalIndexer(spark, root, cfg, order_cols=("path",),
+                             content_col="content")
+    rows = _corpus_rows(240, seed=9)
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    idx.ingest_batch(df.filter(F.col("path") < "p0120"), 0)
+    idx.ingest_batch(df.filter(F.col("path") >= "p0120"), 1)
+    eng = idx.engine()
+    assert eng.positions_df() is not None
+    got = sorted(r["doc_id"] for r in
+                 index_phrase_search_positions(eng, "alpha beta gamma").collect())
+    want = sorted(r["doc_id"] for r in
+                  phrase_search(eng._docs_df, "alpha beta gamma").collect())
+    assert got == want and got
+    # spans both segments
+    assert got[0] < 120 <= got[-1]
+    victims = got[:2]
+    idx.delete_docs(victims)
+    live = idx.engine()
+    got2 = sorted(r["doc_id"] for r in
+                  index_phrase_search_positions(live, "alpha beta gamma").collect())
+    assert got2 == [d for d in got if d not in victims]
+    nr = sorted(r["doc_id"] for r in
+                index_near_search(live, ["alpha", "gamma"], 4).collect())
+    assert not (set(victims) & set(nr))
+
+
+def test_positional_phrase_plan_never_touches_docs_store(spark, pos_index):
+    """The whole point (VERDICT r5 next #1): the positional phrase plan has
+    NO docs-store scan — no verify join, no fetch. Every FileScan in the
+    optimized plan reads the positions sidecar (or nothing), never the
+    docs parquet."""
+    eng = SearchEngine(spark, pos_index)
+    plan = index_phrase_search_positions(
+        eng, "alpha beta gamma")._jdf.queryExecution().executedPlan().toString()
+    assert "/docs" not in plan
+    assert "positions" in plan
+    # and the sidecar scan is pruned by the term filter (pushdown reaches
+    # the parquet source)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters:")[1][:200]
