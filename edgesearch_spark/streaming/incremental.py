@@ -409,6 +409,26 @@ class MultiSegmentEngine(SearchEngine):
                     *[f"{s}/positions" for s in self._segment_dirs])
         return self._positions_union_df
 
+    def oltrigrams_df(self):
+        # Trigram rows are keyed by GLOBAL docIDs and the trigram alphabet
+        # is corpus-independent (every dropped run of a segment contributes
+        # its own trigrams — no df-threshold relativity like the bigram
+        # sidecar), so segment sidecars union soundly. Served only when
+        # EVERY segment carries one; deletes are handled by the verify
+        # stage's fetch (tombstone-aware) like the dict-candidate path.
+        if not hasattr(self, "_oltri_union_df"):
+            self._oltri_union_df = None
+            if all(self._segment_stats_flag(s, "overlong_trigrams")
+                   for s in self._segment_dirs):
+                # a clean segment (rows=0) wrote no table — its docs need no
+                # trigram evidence, so the union over flagged segments only
+                # is complete
+                dirs = [f"{s}/overlong_trigrams" for s in self._segment_dirs
+                        if self._segment_stats_flag(s, "overlong_trigram_rows")]
+                if dirs:
+                    self._oltri_union_df = self.spark.read.parquet(*dirs)
+        return self._oltri_union_df
+
     def _segment_stats_flag(self, seg_dir: str, key: str):
         with open(os.path.join(seg_dir, "stats.json")) as f:
             return json.load(f).get(key)

@@ -235,3 +235,49 @@ def test_bm25_distributed_margin_widens_on_ties(spark, tmp_path_factory):
     assert a.total == b.total == n
     assert list(a.doc_ids) == list(b.doc_ids)  # tie-break by doc_id, exact
     assert list(a.scores) == list(b.scores)
+
+
+def _n_jobs(spark):
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_routed_query_fused_action_cuts_jobs(spark, engines):
+    """VERDICT r5 #4: candidate selection and the exact total used to run
+    as a count + TakeOrdered action PAIR; _fused_topk_count rides both on
+    ONE action. AQE splits every action into per-stage jobs, so the honest
+    assertion is comparative: on the SAME matched plan, the fused pass must
+    schedule at least 2 fewer jobs than the count+TakeOrdered pair it
+    replaced, and a whole warm routed query must fit inside the fused
+    pass's own budget."""
+    eager, _, routed = engines
+    q = Query.make(require=["hot", "third"], k=10)
+    a, b = eager.search_bm25(q), routed.search_bm25(q)  # warm caches
+    _same(a, b)
+    assert routed.last_route == "distributed"
+
+    tp = routed.fetch_terms(["hot", "third"])
+    matched = routed._matched_docs_df(q, tp, scored=False)
+    before = _n_jobs(spark)
+    matched.count()
+    matched.orderBy("doc_id").limit(10).collect()
+    unfused = _n_jobs(spark) - before
+    before = _n_jobs(spark)
+    routed._fused_topk_count(matched, 10, by_score=False)
+    fused = _n_jobs(spark) - before
+    assert fused <= unfused - 2, (fused, unfused)
+
+    # warm IMMEDIATELY before each measured run: in a full-suite session,
+    # evictions (decode memo, norms pages, broadcasts) between the fixture
+    # warm-up and this point would otherwise charge re-fetch jobs to the
+    # measured query and flake the budget assertions
+    routed.search(q)
+    before = _n_jobs(spark)
+    routed.search(q)
+    bool_jobs = _n_jobs(spark) - before
+    routed.search_bm25(q)
+    before = _n_jobs(spark)
+    routed.search_bm25(q)
+    bm25_jobs = _n_jobs(spark) - before
+    assert bool_jobs <= fused, (bool_jobs, fused)
+    # scored mode adds the doclens scan + join (two more AQE stage jobs)
+    assert bm25_jobs <= fused + 2, (bm25_jobs, fused)

@@ -50,7 +50,7 @@ def test_interrupted_then_resumed_equals_clean(spark, corpus, tmp_path_factory):
     assert [m.stage for m in m1] == ["docs", "stats"]
     # resume: only the remaining stages run
     m2 = build_index(spark, corpus, resumed, CFG, order_cols=("repo", "path", "commit"))
-    assert [m.stage for m in m2] == ["postings", "terms", "blooms"]
+    assert [m.stage for m in m2] == ["postings", "terms", "blooms", "oltrigrams"]
 
     assert _postings_fingerprint(spark, resumed) == _postings_fingerprint(spark, clean)
     assert _docs_fingerprint(spark, resumed) == _docs_fingerprint(spark, clean)
