@@ -684,7 +684,61 @@ def build_index(
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": terms_path, "output": bloom_path})
 
-    # ---- stage 6 (optional): hot-bigram sidecar (common-grams) ----
+    # ---- stage 6 (optional): positional sidecar ----
+    # (runs BEFORE the bigram stage so the bigram pair stream can be
+    # DERIVED from position blobs instead of a third corpus tokenize)
+    # Per-(term, salt) delta-varint position blobs (codec.
+    # encode_positions_groups). Positions are 0-based indexes into the
+    # drop-filtered, NORMALIZED token stream — posexplode over the same
+    # token expression the tokenizers index — so position adjacency is
+    # exactly phrase adjacency and the sidecar is sound on word_map /
+    # field_prefix / split_identifiers builds (where the bigram sidecar
+    # must refuse). Same salt scheme as postings: shard merge stays pure
+    # concatenation, the scan prunes on the range-sorted term column, and
+    # the skew cap (2^salt_shift docs per shard) carries over.
+    if cfg.positions and not stage("positions"):
+        from .tokenizer import norm_tokens_col
+
+        t0 = time.monotonic()
+        pdocs = spark.read.parquet(docs_path)
+        if cfg.split_identifiers:
+            from .functions.code import identifier_marked_col
+
+            pdocs = pdocs.withColumn(content_col, identifier_marked_col(content_col))
+        ts = norm_tokens_col(content_col, cfg.word_map, cfg.field_prefix)
+        pos_rows = pdocs.select(
+            "doc_id", F.posexplode(ts).alias("pos", "term")
+        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+        stream = pos_rows.repartition(
+            4 * n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
+        ).sortWithinPartitions("term", "doc_id", "pos")
+        positions_path = os.path.join(out_dir, "positions")
+        (stream.mapInPandas(make_positions_encoder(cfg.salt_shift),
+                            schema=POSITIONS_SCHEMA)
+               .repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+               .write.mode("overwrite")
+               .option("parquet.block.size", cfg.target_rowgroup_bytes)
+               .parquet(positions_path))
+        agg = spark.read.parquet(positions_path).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
+            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
+        # engine detects the sidecar from stats.json, never a fs probe
+        stats_path = os.path.join(out_dir, "stats.json")
+        with open(stats_path) as f:
+            st = json.load(f)
+        st["positions"] = True
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        dt = time.monotonic() - t0
+        m = StageMetrics("positions", int(agg["rows"]), dt,
+                         {"total_postings": int(agg["postings"] or 0),
+                          "payload_bytes": int(agg["bytes"] or 0)})
+        metrics.append(m)
+        _commit_stage(out_dir, m, {"input": docs_path, "output": positions_path})
+
+
+    # ---- stage 7 (optional): hot-bigram sidecar (common-grams) ----
     # Adjacent-pair postings for hot×hot term pairs, in the SAME postings
     # schema/codec as the main table so the engine's pruned fetch + decode
     # path serves them unchanged. Soundness rests on the docs-store token
@@ -692,30 +746,65 @@ def build_index(
     # builds (word_map / field_prefix / split_identifiers rewrite tokens
     # relative to stored content) refuse the sidecar.
     if cfg.bigram_min_df is not None and not stage("bigrams"):
-        from .tokenizer import _tokens_col
-
         t0 = time.monotonic()
         hot_df = (
             spark.read.parquet(terms_path)
             .filter(F.col("df") >= cfg.bigram_min_df).select("term")
         )
-        docs_df = spark.read.parquet(docs_path)
-        ts = _tokens_col(content_col)
-        pair = F.arrays_zip(
-            ts.alias("a"),
-            F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("b"),
-        )
-        pairs = (
-            docs_df.select("doc_id", F.explode(pair).alias("p"))
-            .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .filter(F.col("b").isNotNull())
-            # two broadcast semi-joins bound the pair stream to hot×hot —
-            # the hot list never reaches the driver as literals
-            .join(F.broadcast(hot_df).withColumnRenamed("term", "a"), "a", "left_semi")
-            .join(F.broadcast(hot_df).withColumnRenamed("term", "b"), "b", "left_semi")
-            .groupBy("doc_id", F.concat_ws(" ", "a", "b").alias("term"))
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+        if cfg.positions and _stage_done(out_dir, "positions"):
+            # Derive the pair stream from the positional sidecar instead of
+            # a THIRD corpus tokenize (the positions stage already paid the
+            # tokenize): hot-term position blobs decode to kept-token
+            # indexes, and two kept tokens are phrase-adjacent exactly when
+            # their positions are consecutive — the same adjacency the
+            # arrays_zip path below computes (both streams are the
+            # drop-filtered token stream, so a dropped >MAX_TERM_BYTES run
+            # collapses identically). Work scales with HOT-term postings
+            # (broadcast-semi-joined before decode), not corpus tokens.
+            from .sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
+
+            pair_derivation = "positions"
+            dec = (
+                spark.read.parquet(os.path.join(out_dir, "positions"))
+                .join(F.broadcast(hot_df), "term", "left_semi")
+                .select("term", "df", "payload")
+                .mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
+            )
+            toks = dec.select("doc_id", "term", F.explode("positions").alias("pos"))
+            perdoc = toks.groupBy("doc_id").agg(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("s"))
+            n1 = F.greatest(F.size("s") - 1, F.lit(0))
+            adj = F.filter(
+                F.zip_with(
+                    F.slice("s", 1, n1), F.slice("s", 2, n1),
+                    lambda x, y: F.when(y["pos"] == x["pos"] + 1,
+                                        F.concat_ws(" ", x["term"], y["term"]))),
+                lambda v: v.isNotNull())
+            pairs = (
+                perdoc.select("doc_id", F.explode(adj).alias("term"))
+                .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+            )
+        else:
+            from .tokenizer import _tokens_col
+
+            pair_derivation = "tokenize"
+            docs_df = spark.read.parquet(docs_path)
+            ts = _tokens_col(content_col)
+            pair = F.arrays_zip(
+                ts.alias("a"),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("b"),
+            )
+            pairs = (
+                docs_df.select("doc_id", F.explode(pair).alias("p"))
+                .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .filter(F.col("b").isNotNull())
+                # two broadcast semi-joins bound the pair stream to hot×hot —
+                # the hot list never reaches the driver as literals
+                .join(F.broadcast(hot_df).withColumnRenamed("term", "a"), "a", "left_semi")
+                .join(F.broadcast(hot_df).withColumnRenamed("term", "b"), "b", "left_semi")
+                .groupBy("doc_id", F.concat_ws(" ", "a", "b").alias("term"))
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
         slim = pairs.select("term", "doc_id", "tf", F.lit(0.0).cast("float").alias("w"))
         stream = slim.repartition(
             n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
@@ -741,11 +830,12 @@ def build_index(
         dt = time.monotonic() - t0
         m = StageMetrics("bigrams", int(agg["rows"]), dt,
                          {"total_postings": int(agg["postings"] or 0),
-                          "min_df": cfg.bigram_min_df})
+                          "min_df": cfg.bigram_min_df,
+                          "pair_derivation": pair_derivation})
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": docs_path, "output": bigram_path})
 
-    # ---- stage 6b (default-on): overlong-run trigram sidecar ----
+    # ---- stage 8 (default-on): overlong-run trigram sidecar ----
     # Literal evidence for regex over docs whose >MAX_TERM_BYTES runs were
     # DROPPED from the token stream: every maximal-alnum occurrence of a
     # required literal lies inside one run, so a literal hiding in a
@@ -810,56 +900,5 @@ def build_index(
         m = StageMetrics("oltrigrams", n_rows, dt, {"total_postings": n_post})
         metrics.append(m)
         _commit_stage(out_dir, m, {"input": docs_path, "output": oltri_path})
-
-    # ---- stage 7 (optional): positional sidecar ----
-    # Per-(term, salt) delta-varint position blobs (codec.
-    # encode_positions_groups). Positions are 0-based indexes into the
-    # drop-filtered, NORMALIZED token stream — posexplode over the same
-    # token expression the tokenizers index — so position adjacency is
-    # exactly phrase adjacency and the sidecar is sound on word_map /
-    # field_prefix / split_identifiers builds (where the bigram sidecar
-    # must refuse). Same salt scheme as postings: shard merge stays pure
-    # concatenation, the scan prunes on the range-sorted term column, and
-    # the skew cap (2^salt_shift docs per shard) carries over.
-    if cfg.positions and not stage("positions"):
-        from .tokenizer import norm_tokens_col
-
-        t0 = time.monotonic()
-        pdocs = spark.read.parquet(docs_path)
-        if cfg.split_identifiers:
-            from .functions.code import identifier_marked_col
-
-            pdocs = pdocs.withColumn(content_col, identifier_marked_col(content_col))
-        ts = norm_tokens_col(content_col, cfg.word_map, cfg.field_prefix)
-        pos_rows = pdocs.select(
-            "doc_id", F.posexplode(ts).alias("pos", "term")
-        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
-        stream = pos_rows.repartition(
-            4 * n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
-        ).sortWithinPartitions("term", "doc_id", "pos")
-        positions_path = os.path.join(out_dir, "positions")
-        (stream.mapInPandas(make_positions_encoder(cfg.salt_shift),
-                            schema=POSITIONS_SCHEMA)
-               .repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
-               .write.mode("overwrite")
-               .option("parquet.block.size", cfg.target_rowgroup_bytes)
-               .parquet(positions_path))
-        agg = spark.read.parquet(positions_path).agg(
-            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
-            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
-        # engine detects the sidecar from stats.json, never a fs probe
-        stats_path = os.path.join(out_dir, "stats.json")
-        with open(stats_path) as f:
-            st = json.load(f)
-        st["positions"] = True
-        with open(stats_path + ".tmp", "w") as f:
-            json.dump(st, f)
-        os.replace(stats_path + ".tmp", stats_path)
-        dt = time.monotonic() - t0
-        m = StageMetrics("positions", int(agg["rows"]), dt,
-                         {"total_postings": int(agg["postings"] or 0),
-                          "payload_bytes": int(agg["bytes"] or 0)})
-        metrics.append(m)
-        _commit_stage(out_dir, m, {"input": docs_path, "output": positions_path})
 
     return metrics

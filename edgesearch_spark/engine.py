@@ -1054,7 +1054,7 @@ class SearchEngine:
         return df.filter(F.col("ol") == 1).select("doc_id")
 
     def bigram_postings_df(self) -> DataFrame | None:
-        """The hot-bigram common-grams sidecar (build stage 6), or None when
+        """The hot-bigram common-grams sidecar (build stage 7), or None when
         the index was built without one. Presence comes from stats.json, not
         a filesystem probe (remote index dirs, ADVICE r4 bloom lesson)."""
         if self.stats.get("bigram_min_df") is None:
@@ -1063,8 +1063,29 @@ class SearchEngine:
             self._bigram_df = self.spark.read.parquet(f"{self.index_dir}/bigram_postings")
         return self._bigram_df
 
+    def bigram_pair_plan(self, pairs: list[str]):
+        """Serving plan for adjacent-pair keys ("t1 t2") off the common-grams
+        sidecar: ``(exact_df, maybe_df)`` where ``exact_df`` holds
+        (term, doc_id) rows that ARE pair adjacency (verify-free) and
+        ``maybe_df`` (or None) holds sound-superset rows — docs holding both
+        terms — for corpus regions whose sidecar does not cover the pair,
+        which the caller must verify. ``None`` when no sidecar exists at
+        all. A single-shot index covers every hot pair by construction, so
+        the plan is all-exact; MultiSegmentEngine overrides this with the
+        per-segment route (each segment serves its own sidecar where the
+        pair qualifies LOCALLY, AND-candidates otherwise)."""
+        bg = self.bigram_postings_df()
+        if bg is None:
+            self.last_bigram_plan = None
+            return None
+        exact = self._decoded_for(pairs, postings_df=bg).select("term", "doc_id")
+        self.last_bigram_plan = {"pairs": len(pairs),
+                                 "covered_segments": {p: 1 for p in pairs},
+                                 "fallback_segments": {p: 0 for p in pairs}}
+        return self._live_filter_df(exact), None
+
     def oltrigrams_df(self) -> DataFrame | None:
-        """The overlong-run trigram sidecar (build stage 6b), or None when
+        """The overlong-run trigram sidecar (build stage 8), or None when
         the index predates it. Postings over the lowercased trigrams of
         DROPPED (>MAX_TERM_BYTES) alphanumeric runs — the literal evidence
         that lets index_regex_search intersect the overlong-flagged set
@@ -1079,7 +1100,7 @@ class SearchEngine:
         return self._oltri_df
 
     def positions_df(self) -> DataFrame | None:
-        """The positional sidecar (build stage 7), or None when the index
+        """The positional sidecar (build stage 6), or None when the index
         was built without one. Presence from stats.json, not a fs probe."""
         if not self.stats.get("positions"):
             return None

@@ -243,7 +243,7 @@ def index_regex_search(engine, pattern: str, content_col: str = "content",
     # token stream, so a literal occurring only inside one exists in no
     # indexed term — dictionary pruning alone would silently drop that doc.
     # The build flags such docs per-row in doclens (build stage 2). With the
-    # overlong-trigram sidecar (build stage 6b) a flagged doc contributes a
+    # overlong-trigram sidecar (build stage 8) a flagged doc contributes a
     # candidate only when its dropped runs hold EVERY trigram of a literal —
     # necessary for the literal to hide there — so per literal the evidence
     # (dict term ∪ trigram cover) is a sound superset of matches and the
@@ -388,10 +388,10 @@ def index_phrase_search(engine, phrase: str, content_col: str = "content") -> Da
         return spark.range(0).select(F.col("id").alias("doc_id"))
 
     min_df = engine.stats.get("bigram_min_df")
-    bigram_df = engine.bigram_postings_df() if min_df is not None else None
     constraints: dict[str, bool] = {}  # key -> is_bigram (deduped: a repeated
     # pair/term is one AND constraint — countDistinct counts keys once)
-    if bigram_df is not None:
+    plan = None
+    if min_df is not None:
         covered: set[int] = set()
         for i in range(len(terms) - 1):
             if tp[terms[i]].df >= min_df and tp[terms[i + 1]].df >= min_df:
@@ -400,21 +400,32 @@ def index_phrase_search(engine, phrase: str, content_col: str = "content") -> Da
         for i in range(len(terms)):
             if i not in covered:
                 constraints.setdefault(terms[i], False)
+        bkeys = [k for k, b in constraints.items() if b]
+        # (exact_df, maybe_df): exact rows ARE adjacency; maybe rows are a
+        # sound superset from segments whose local sidecar doesn't cover
+        # the pair (per-segment route) and go through the verify below
+        plan = engine.bigram_pair_plan(bkeys) if bkeys else None
+        if plan is None:
+            constraints = {}
     if not any(constraints.values()):
         cands = engine.search_df(Query.make(require=list(dict.fromkeys(terms))))
     else:
-        bkeys = [k for k, b in constraints.items() if b]
+        exact, maybe = plan
         skeys = [k for k, b in constraints.items() if not b]
-        if len(terms) == 2 and len(constraints) == 1 and bkeys:
-            # a TWO-term phrase is exactly pair adjacency — the bigram
-            # postings ARE the result set (phrase_col's n=2 zip tests the
-            # same adjacency the sidecar indexed); no docs-store verify
-            return (engine._decoded_for(bkeys, postings_df=bigram_df)
-                    .select("doc_id").distinct())
-        parts = []
-        if bkeys:
-            parts.append(engine._decoded_for(bkeys, postings_df=bigram_df)
-                         .select("term", "doc_id"))
+        if len(terms) == 2 and len(constraints) == 1:
+            # a TWO-term phrase is exactly pair adjacency — the exact rows
+            # ARE the result set (phrase_col's n=2 zip tests the same
+            # adjacency the sidecar indexed); only the uncovered-segment
+            # superset rows (if any) pay a docs-store verify
+            res = exact.select("doc_id")
+            if maybe is not None:
+                fetched = engine.fetch_docs_df(maybe.select("doc_id"))
+                res = res.unionByName(
+                    verify_on_candidates(fetched, phrase_col(content_col, terms))
+                    .select("doc_id"))
+            return res.distinct()
+        pair_rows = exact if maybe is None else exact.unionByName(maybe)
+        parts = [pair_rows.select("term", "doc_id")]
         if skeys:
             parts.append(engine._decoded_for(skeys).select("term", "doc_id"))
         dec = parts[0]

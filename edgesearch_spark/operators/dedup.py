@@ -79,6 +79,47 @@ def shingle_jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int,
+    family: str,
+) -> DataFrame:
+    """(doc_id, h0 … h{num_hashes-1}): per-doc minhash values computed as
+    ``num_hashes`` column expressions over the shingle rows and ONE
+    groupBy(doc_id) of column-wise mins — no num_hashes× row explosion, and
+    map-side partial aggregation collapses each partition to one wide row
+    per doc before the shuffle (VERDICT r5 #7; the SimHash shape). Values
+    are bit-identical to the historical exploded formulation: md5 family =
+    md5(j ‖ ':' ‖ shingle) with two disjoint 56-bit hex windows per digest
+    (seed 2j = chars 1-14, seed 2j+1 = chars 16-29), xx family =
+    xxhash64(seed, shingle)."""
+    sh = _shingles(df, id_col, text_col, n)
+    if family == "xx":
+        # production family: one JVM xxhash64 per (shingle, seed) — no
+        # crypto, ~an order of magnitude cheaper than md5, NOT DuckDB-
+        # portable (the md5 family remains the oracled default; the xx
+        # family is pytest-validated for recall against the exact pairs)
+        vals = {f"v{s}": F.xxhash64(F.lit(s), F.col("shingle"))
+                for s in range(num_hashes)}
+        wide = sh.withColumns(vals)
+    else:
+        if num_hashes % 2:
+            raise ValueError("num_hashes must be even")
+        # withColumns pins ONE md5 evaluation per digest (two windows read
+        # the same column — not two copies of the crypto expression)
+        digs = {f"d{j}": F.md5(F.concat_ws(":", F.lit(j), F.col("shingle")))
+                for j in range(num_hashes // 2)}
+        wide = sh.withColumns(digs)
+        vals = {}
+        for j in range(num_hashes // 2):
+            vals[f"v{2 * j}"] = F.conv(
+                F.substring(F.col(f"d{j}"), 1, 14), 16, 10).cast("long")
+            vals[f"v{2 * j + 1}"] = F.conv(
+                F.substring(F.col(f"d{j}"), 16, 14), 16, 10).cast("long")
+        wide = wide.withColumns(vals)
+    return wide.groupBy("doc_id").agg(
+        *[F.min(f"v{s}").alias(f"h{s}") for s in range(num_hashes)])
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32,
     family: str = "md5",
@@ -90,40 +131,17 @@ def minhash_signatures(
     argmin of a line family correlates adjacent seeds, which collapses
     banded-LSH precision — 182 candidate pairs vs 25 on the contract corpus.)
     Portable: DuckDB parses the same hex windows with CAST('0x'||… AS BIGINT),
-    so every signature matches bit-for-bit."""
-    if family == "xx":
-        # production family: one JVM xxhash64 per (shingle, seed) — no
-        # crypto, ~an order of magnitude cheaper than md5, NOT DuckDB-
-        # portable (the md5 family remains the oracled default; the xx
-        # family is pytest-validated for recall against the exact pairs)
-        sh = _shingles(df, id_col, text_col, n)
-        seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-        hashed = sh.select("doc_id", "shingle", seeds).withColumn(
-            "h", F.xxhash64("seed", "shingle")
-        )
-        return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
-    if num_hashes % 2:
-        raise ValueError("num_hashes must be even")
-    sh = _shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes // 2)])).alias("j")
-    d = F.md5(F.concat_ws(":", F.col("j"), F.col("shingle")))
-    lo = F.conv(F.substring(F.col("d"), 1, 14), 16, 10).cast("long")
-    hi = F.conv(F.substring(F.col("d"), 16, 14), 16, 10).cast("long")
-    hashed = (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn("d", d)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    F.struct((F.col("j") * 2).alias("seed"), lo.alias("h")),
-                    F.struct((F.col("j") * 2 + 1).alias("seed"), hi.alias("h")),
-                )
-            ).alias("sh2"),
-        )
-        .select("doc_id", F.col("sh2.seed").alias("seed"), F.col("sh2.h").alias("h"))
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    so every signature matches bit-for-bit. Computed via the wide one-
+    groupBy plan (_minhash_wide) and unpivoted AFTER the aggregation, so the
+    long shape costs docs×num_hashes narrow rows, never shingles×num_hashes."""
+    agg = _minhash_wide(df, id_col, text_col, n, num_hashes, family)
+    return agg.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"), F.col(f"h{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ])).alias("x"),
+    ).select("doc_id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -143,13 +161,26 @@ def minhash_lsh_candidates(
     not doc pairs. family='md5' (default) is bit-for-bit DuckDB-portable
     (the contract oracle); family='xx' swaps in JVM xxhash64 end to end —
     the production choice when no cross-engine parity is needed."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, family=family)
-    band_agg = F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
-    band_hash = F.xxhash64(band_agg) if family == "xx" else F.md5(band_agg)
+    if num_hashes % band_size:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    sig = _minhash_wide(df, id_col, text_col, n, num_hashes, family=family)
+    # band hashes straight off the wide per-doc row — the historical
+    # formulation's collect_list-then-sort over exploded (seed, minhash)
+    # rows is reproduced bit-for-bit by sort_array over the band's literal
+    # "seed:minhash" strings, with NO second groupBy/shuffle
+    bands = []
+    for bnd in range(num_hashes // band_size):
+        entries = F.sort_array(F.array(*[
+            F.concat_ws(":", F.lit(s), F.col(f"h{s}"))
+            for s in range(bnd * band_size, (bnd + 1) * band_size)
+        ]))
+        band_agg = F.concat_ws(",", entries)
+        bh = F.xxhash64(band_agg) if family == "xx" else F.md5(band_agg)
+        bands.append(F.struct(F.lit(bnd).alias("band"), bh.alias("band_hash")))
     banded = (
-        sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(band_hash.alias("band_hash"))
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("x"))
+        .select("doc_id", F.col("x.band").alias("band"),
+                F.col("x.band_hash").alias("band_hash"))
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1150,7 +1150,7 @@ SQL_IDX_PHRASE_MATCH = SQL_PHRASE_MATCH
 
 
 def q_idx_phrase_bigram(spark, sf_dir):
-    """Hot-phrase search through the common-grams sidecar (build stage 6,
+    """Hot-phrase search through the common-grams sidecar (build stage 7,
     IndexConfig.bigram_min_df): adjacent hot-term pairs are their own
     postings lists, so the candidate set is the exact ADJACENCY set instead
     of the co-occurrence set the plain AND verifies — the Lucene
@@ -1167,7 +1167,7 @@ SQL_IDX_PHRASE_BIGRAM = SQL_PHRASE_MATCH
 
 def q_idx_phrase_positions(spark, sf_dir):
     """Arbitrary-length EXACT phrase through the positional sidecar (build
-    stage 7, IndexConfig.positions): per-term delta-varint position blobs
+    stage 6, IndexConfig.positions): per-term delta-varint position blobs
     are fetched off the pruned positions scan, pivoted into per-term arrays
     in ONE aggregation, and a JVM higher-order exists tests adjacency —
     no docs-store fetch, no verify join anywhere in the plan (VERDICT r5

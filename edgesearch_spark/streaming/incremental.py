@@ -81,18 +81,14 @@ class IncrementalIndexer:
 
         with_ids = assign_doc_ids(batch, self.order_cols, doc_id_col="doc_id")
         with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        # segments never serve the common-grams sidecar (a multi-segment
-        # union can't use it soundly: a globally-hot pair may be locally
-        # cold in a small segment and missing from its sidecar), so don't
-        # pay its build cost per micro-batch; compact() keeps the full
-        # config and the compacted single segment serves it (engine()).
-        seg_cfg = self.cfg
-        if getattr(seg_cfg, "bigram_min_df", None) is not None:
-            from dataclasses import replace
-
-            seg_cfg = replace(seg_cfg, bigram_min_df=None)
+        # segments build the full config INCLUDING the common-grams sidecar:
+        # MultiSegmentEngine.bigram_pair_plan serves each segment from its
+        # OWN sidecar where the pair qualifies locally and falls back to
+        # AND+verify on the segments where it doesn't (a globally-hot pair
+        # may be locally cold in a small segment), so per-segment sidecars
+        # are useful immediately rather than only after compaction.
         build_index(
-            self.spark, with_ids, seg_dir, seg_cfg,
+            self.spark, with_ids, seg_dir, self.cfg,
             doc_id_col="doc_id", content_col=self.content_col, resume=True,
         )
         cache = getattr(with_ids, "_docid_cache", None)
@@ -339,6 +335,7 @@ class MultiSegmentEngine(SearchEngine):
         total_tokens = 0
         overlong = False
         self._segment_avgdls: list[float] = []
+        self._segment_bigram_min_df: list[int | None] = []
         for s in segment_dirs:
             with open(os.path.join(s, "stats.json")) as f:
                 st = json.load(f)
@@ -349,9 +346,17 @@ class MultiSegmentEngine(SearchEngine):
             # segment = unknown = treat as present (regex soundness guard)
             overlong = overlong or bool(st.get("has_overlong_runs", True))
             self._segment_avgdls.append(float(st["avgdl"]))
+            self._segment_bigram_min_df.append(st.get("bigram_min_df"))
         self.stats = {**stats, "n_docs": n_docs, "total_tokens": total_tokens,
                       "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
                       "has_overlong_runs": overlong}
+        # merged sidecar threshold: ANY segment carrying a common-grams
+        # sidecar makes the pair route worth trying (bigram_pair_plan
+        # serves covered segments and falls back per-segment elsewhere);
+        # min() so the pair-selection heuristic tries every pair that
+        # could be hot somewhere
+        bmins = [b for b in self._segment_bigram_min_df if b is not None]
+        self.stats["bigram_min_df"] = min(bmins) if bmins else None
         self.n_docs = n_docs
         self.k1 = self.stats["k1"]
         self.b = self.stats["b"]
@@ -394,6 +399,75 @@ class MultiSegmentEngine(SearchEngine):
                     f"{self._segment_dirs[0]}/bigram_postings")
             return self._bigram_df
         return None
+
+    def bigram_pair_plan(self, pairs):
+        """Per-segment common-grams route (VERDICT r5 #3): each segment
+        serves a pair from its OWN sidecar when the pair qualifies there
+        LOCALLY, and contributes AND-of-both-terms candidates (a sound
+        superset the caller verifies) when it doesn't. Local coverage is
+        read off the sidecar itself: a pair has rows in a segment's sidecar
+        iff the build selected it there (both terms locally hot) AND it is
+        adjacent at least once — and selection implies the segment's
+        adjacency postings for it are COMPLETE. Absence is ambiguous (cold
+        vs zero-adjacency), so absent ⇒ fall back for that segment, which
+        is sound either way. Tombstones are anti-joined on both branches,
+        so the route works with live deletes (the single-engine plan never
+        has any)."""
+        segs = [s for s, b in zip(self._segment_dirs, self._segment_bigram_min_df)
+                if b is not None]
+        if not segs:
+            self.last_bigram_plan = None
+            return None
+        spark = self.spark
+        bg_union = spark.read.parquet(*[f"{s}/bigram_postings" for s in segs])
+        if not hasattr(self, "_bigram_presence"):
+            self._bigram_presence: dict[str, set] = {}
+        todo = [p for p in pairs if p not in self._bigram_presence]
+        if todo:
+            # one pruned scan (term range-sorted → row-group pruning)
+            # resolves which segments carry each pair; tiny collect
+            pres = (bg_union.filter(F.col("term").isin(todo))
+                    .select("term", F.input_file_name().alias("f"))
+                    .distinct().collect())
+            for p in todo:
+                self._bigram_presence[p] = set()
+            for r in pres:
+                for s in segs:
+                    base = os.path.basename(os.path.normpath(s))
+                    if f"/{base}/bigram_postings/" in r["f"]:
+                        self._bigram_presence[r["term"]].add(s)
+                        break
+        exact = self._live_filter_df(
+            self._decoded_for(pairs, postings_df=bg_union).select("term", "doc_id"))
+        maybe_parts = []
+        fb_counts = {}
+        for p in pairs:
+            cov = self._bigram_presence[p]
+            uncov = [s for s in self._segment_dirs if s not in cov]
+            fb_counts[p] = len(uncov)
+            if not uncov:
+                continue
+            want = list(dict.fromkeys(p.split(" ", 1)))
+            dec = self._decoded_for(
+                want,
+                postings_df=spark.read.parquet(*[f"{u}/postings" for u in uncov]))
+            maybe_parts.append(
+                dec.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nc"))
+                .filter(F.col("nc") == len(want))
+                .select(F.lit(p).alias("term"), "doc_id"))
+        maybe = None
+        if maybe_parts:
+            maybe = maybe_parts[0]
+            for m in maybe_parts[1:]:
+                maybe = maybe.unionByName(m)
+            maybe = self._live_filter_df(maybe)
+        self.last_bigram_plan = {
+            "pairs": len(pairs),
+            "covered_segments": {p: len(self._bigram_presence[p]) for p in pairs},
+            "fallback_segments": fb_counts,
+        }
+        return exact, maybe
 
     def positions_df(self):
         # Positions are per-doc data keyed by GLOBAL docIDs (segments build

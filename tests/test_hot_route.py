@@ -238,7 +238,15 @@ def test_bm25_distributed_margin_widens_on_ties(spark, tmp_path_factory):
 
 
 def _n_jobs(spark):
-    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    # highest job ID + 1, NOT jobsList().size(): the UI store evicts past
+    # spark.ui.retainedJobs, so in a long (full-suite) session the list
+    # size stops tracking scheduled jobs and deltas can even go negative;
+    # job IDs are monotonic for the lifetime of the SparkContext
+    jl = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
+    n = jl.size()
+    if n == 0:
+        return 0
+    return max(jl.apply(i).jobId() for i in range(n)) + 1
 
 
 def test_routed_query_fused_action_cuts_jobs(spark, engines):

@@ -465,10 +465,11 @@ def test_bigram_scan_is_term_pruned(spark, bigram_index):
 
 
 def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
-    """Segments skip the sidecar build (multi-segment unions can't serve it
-    soundly); compaction rebuilds with the full config, and the compacted
-    single-segment engine serves it — until a delete appears, which flips
-    back to the (identical-results) AND+verify fallback."""
+    """Segments build their OWN sidecar (per-segment serving, VERDICT r5
+    #3): a multi-segment engine routes each pair through every segment
+    where it qualifies locally, compaction collapses to one covered
+    segment, and deletes stay correct because both plan branches are
+    live-filtered."""
     import os
 
     from edgesearch_spark.build import IndexConfig
@@ -485,12 +486,16 @@ def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
     idx.ingest_batch(df.filter("doc_id >= 5"), 1)
     segs = idx.segment_dirs()
     assert len(segs) == 2
-    assert not any(os.path.exists(os.path.join(s, "bigram_postings")) for s in segs)
+    # per-segment sidecars exist now (segments no longer strip the config)
+    assert all(os.path.exists(os.path.join(s, "bigram_postings")) for s in segs)
     eng = idx.engine()
-    assert eng.bigram_postings_df() is None  # multi-segment: fallback
     want = sorted(r["doc_id"] for r in phrase_search(eng._docs_df, "data value").collect())
     got = sorted(r["doc_id"] for r in index_phrase_search(eng, "data value").collect())
     assert got == want and len(want) == 6
+    # the pair is locally hot in segment 0 (5 'data value' docs) and
+    # locally cold in segment 1 ('data value' adjacent only in doc 5)
+    plan = eng.last_bigram_plan
+    assert plan is not None and plan["covered_segments"]["data value"] >= 1
 
     idx.compact_in_place()
     eng2 = idx.engine()
@@ -502,9 +507,11 @@ def test_bigram_sidecar_through_incremental_lifecycle(spark, tmp_path_factory):
 
     idx.delete_docs([got2[0]])
     eng3 = idx.engine()
-    assert eng3.bigram_postings_df() is None  # deletes: raw postings unsafe
+    # deletes no longer force the AND+verify fallback: the plan's exact
+    # branch is tombstone-anti-joined, results identical
     got3 = sorted(r["doc_id"] for r in index_phrase_search(eng3, "data value").collect())
     assert got3 == [d for d in got2 if d != got2[0]]
+    assert eng3.last_bigram_plan is not None
 
 
 def test_index_regex_finds_literals_inside_dropped_runs(spark, tmp_path_factory):
@@ -662,3 +669,112 @@ def test_index_regex_trigram_multisegment_and_deletes(spark, tmp_path_factory):
     eng2 = idx.engine()
     got2 = sorted(r["doc_id"] for r in index_regex_search(eng2, r"needle\w*").collect())
     assert got2 == [2]
+
+
+def test_bigram_pairs_derived_from_positions_byte_identical(spark, bigram_index,
+                                                            tmp_path_factory):
+    """With IndexConfig.positions the bigram stage derives its pair stream
+    from the positional sidecar (no third corpus tokenize, VERDICT r5 #5);
+    the resulting sidecar must be BYTE-identical to the tokenize-derived
+    one — including across doc 5's dropped >255-byte run, where both
+    streams make the surrounding tokens adjacent."""
+    from edgesearch_spark.build import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("bigrampos"))
+    ms = build_index(spark, bigram_index._test_docs, out,
+                     IndexConfig(block_size=8, salt_shift=4, bigram_min_df=4,
+                                 positions=True),
+                     doc_id_col="doc_id", content_col="content")
+    bg = [m for m in ms if m.stage == "bigrams"]
+    assert bg and bg[0].extra["pair_derivation"] == "positions"
+    cols = ["term", "salt", "df", "block_first_doc", "block_max_doc",
+            "block_count", "block_offset", "block_kind", "payload"]
+    a = spark.read.parquet(f"{bigram_index.index_dir}/bigram_postings")
+    b = spark.read.parquet(f"{out}/bigram_postings")
+    cols = [c for c in cols if c in a.columns]
+    ra = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                      for v in r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                      for v in r) for r in b.select(*cols).collect())
+    assert ra == rb and len(ra) > 0
+
+
+@pytest.fixture(scope="module")
+def seg_bigram_idx(spark, tmp_path_factory):
+    """Two segments, bigram_min_df=4: the pair 'data value' is locally hot
+    in segment 0 (both terms df ≥ 4 there, sidecar covers it) and locally
+    COLD in segment 1 ('value' df=1 there) yet still ADJACENT in one of its
+    docs — the exact shape the per-segment route exists for."""
+    from edgesearch_spark.build import IndexConfig
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+    root = str(tmp_path_factory.mktemp("segbigram"))
+    idx = IncrementalIndexer(
+        spark, root, IndexConfig(block_size=8, salt_shift=4, bigram_min_df=4),
+        order_cols=("path",), content_col="content")
+    seg_a = [
+        ("a0", "data value pipeline"),
+        ("a1", "big data value store"),
+        ("a2", "data in the value column"),
+        ("a3", "the data holds a value"),
+        ("a4", "data stream only"),
+    ]
+    seg_b = [
+        ("b0", "data value appears here"),
+        ("b1", "data flows"),
+        ("b2", "data lake"),
+        ("b3", "data mart"),
+        ("b4", "other words entirely"),
+    ]
+    for epoch, rows in enumerate([seg_a, seg_b]):
+        idx.ingest_batch(
+            spark.createDataFrame(rows, "path string, content string"), epoch)
+    return idx
+
+
+def test_per_segment_bigram_route_matches_scan_and_compacted(
+        spark, seg_bigram_idx, tmp_path_factory):
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import (index_phrase_search,
+                                                       phrase_search)
+
+    eng = seg_bigram_idx.engine()
+    docs = eng._docs_df.select("doc_id", "content")
+    want = sorted(r["doc_id"] for r in phrase_search(docs, "data value").collect())
+    assert len(want) == 3  # a0, a1, b0
+    got = sorted(r["doc_id"] for r in
+                 index_phrase_search(eng, "data value").collect())
+    assert got == want
+    # the route: segment 0's sidecar covered the pair, segment 1 fell back
+    plan = eng.last_bigram_plan
+    assert plan["covered_segments"]["data value"] == 1
+    assert plan["fallback_segments"]["data value"] == 1
+    # identical to a compacted single-shot index
+    out = str(tmp_path_factory.mktemp("segbigram_compact"))
+    seg_bigram_idx.compact(out)
+    ceng = SearchEngine(spark, out)
+    cgot = sorted(r["doc_id"] for r in
+                  index_phrase_search(ceng, "data value").collect())
+    assert cgot == want
+
+
+def test_per_segment_bigram_route_3term_and_deletes(spark, seg_bigram_idx):
+    from edgesearch_spark.functions.textsearch import (index_phrase_search,
+                                                       phrase_search)
+
+    eng = seg_bigram_idx.engine()
+    docs = eng._docs_df.select("doc_id", "content")
+    for phrase in ["big data value", "data value appears"]:
+        want = sorted(r["doc_id"] for r in phrase_search(docs, phrase).collect())
+        got = sorted(r["doc_id"] for r in
+                     index_phrase_search(eng, phrase).collect())
+        assert got == want and len(want) == 1
+    # delete one covered-segment match and one fallback-segment match:
+    # both branches of the plan honor live-docs
+    all_match = sorted(r["doc_id"] for r in
+                       index_phrase_search(eng, "data value").collect())
+    seg_bigram_idx.delete_docs(all_match[:1] + all_match[-1:])
+    live = seg_bigram_idx.engine()
+    got = sorted(r["doc_id"] for r in
+                 index_phrase_search(live, "data value").collect())
+    assert got == all_match[1:-1]

@@ -15,9 +15,9 @@ Prints ICEBERG_ROUNDTRIP_OK on success (tests/test_iceberg.py's integration
 test shells out to this script and asserts that marker; it skips cleanly
 when no jar can be found).
 
-Sandbox record (re-probed 2026-08-17, round 5 — unchanged: script ran,
-Iceberg classes still absent from the classpath; previously round 4, and
-originally 2026-08-16, round 3): this container has NO network
+Sandbox record (re-probed 2026-08-17, round 6 — unchanged: script ran,
+Iceberg classes still absent from the classpath, DNS to repo1.maven.org
+still fails; previously rounds 3-5): this container has NO network
 (`urllib.urlopen('https://repo1.maven.org/maven2/')` → "Name or service not
 known"; curl to the same → 000), no pip/apt, and no iceberg jar under
 /opt/spark/jars — so offline jar vendoring is impossible here and the
