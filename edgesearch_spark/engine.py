@@ -36,7 +36,7 @@ import os
 from collections import OrderedDict
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import idf_value, load_stats
@@ -1024,15 +1024,20 @@ class SearchEngine:
                             ranked_scores[lo : lo + page.size].tolist())
 
     # ---- distributed twin: hot union-shaped queries as ONE Spark plan ----
-    def _decoded_for(self, terms: list[str], postings_df: DataFrame | None = None) -> DataFrame:
+    def _decoded_for(self, terms: "list[str] | Column",
+                     postings_df: DataFrame | None = None) -> DataFrame:
         """(term, doc_id, tf) rows for the given terms, decoded executor-side
         (scan pruned by the term filter). Uses self._postings_df so it is
         multi-segment-correct; pass postings_df to decode a sidecar table in
-        the same schema (e.g. the hot-bigram common-grams sidecar)."""
+        the same schema (e.g. the hot-bigram common-grams sidecar).
+        ``terms`` may be a Column predicate over ``term`` instead of a list —
+        e.g. startswith for prefix queries, where the parquet scan prunes by
+        the pushed StringStartsWith on the range-sorted term column."""
         from .sources.postings import DECODED_SCHEMA, _decode_rows
 
+        pred = terms if isinstance(terms, Column) else F.col("term").isin(terms)
         pt = (postings_df if postings_df is not None else self._postings_df
-              ).filter(F.col("term").isin(terms)).select(
+              ).filter(pred).select(
             "term", "block_first_doc", "block_max_doc", "block_count",
             "block_offset", "block_kind", "payload",
         )

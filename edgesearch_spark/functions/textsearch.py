@@ -584,6 +584,204 @@ def index_near_search(engine, terms: list[str], slop: int) -> DataFrame:
     return engine._live_filter_df(joined.filter(cond).select("doc_id"))
 
 
+def _lam(name: str, body) -> "callable":
+    """A one-arg lambda whose PARAMETER NAME is ``name``: pyspark derives
+    higher-order-function variable names from the Python signature, and a
+    nested lambda shadows a same-named outer variable — so every nesting
+    level of a composed expression needs a fresh name."""
+    return eval(f"lambda {name}: _body({name})", {"_body": body})  # noqa: S307
+
+
+def _slop_chain_cond(terms: list[str], col_of: dict[str, str], slop: int) -> Column:
+    """Ordered-proximity condition over per-term position arrays: positions
+    q1 < q2 < … < qn, one per phrase slot in PHRASE ORDER, each consecutive
+    gap q{i+1} − q{i} ≤ slop + 1 (≤ slop intervening kept tokens; slop = 0
+    is exact adjacency). Computed as iterative REACHABILITY — level i keeps
+    the positions of term i reachable from term i−1's kept set — so the
+    expression nests exactly two lambda levels per step, each with unique
+    variable names (see _lam), and evaluation is left-to-right linear
+    instead of exponential in n."""
+    reach: Column = F.col(col_of[terms[0]])
+    for lvl, t in enumerate(terms[1:], start=1):
+        prev = reach
+
+        def outer(q, _prev=prev, _lvl=lvl):
+            def inner(p, _q=q):
+                return (_q > p) & (_q <= p + F.lit(slop + 1))
+
+            return F.exists(_prev, _lam(f"p{_lvl}", inner))
+
+        reach = F.filter(F.col(col_of[t]), _lam(f"q{lvl}", outer))
+    return F.size(reach) > 0
+
+
+def index_phrase_slop(engine, phrase: str, slop: int) -> DataFrame:
+    """ORDERED sloppy phrase off the positional sidecar: the phrase terms
+    must appear in phrase order with at most ``slop`` intervening kept
+    tokens between each consecutive pair (``slop = 0`` ≡ the exact phrase —
+    test-pinned against index_phrase_search_positions). The ordered twin of
+    index_near_search, completing the proximity family: same pruned
+    fetch/pivot shape (_position_arrays, one shuffle), then the reachability
+    chain (_slop_chain_cond) entirely in JVM higher-order expressions — no
+    docs-store fetch, no verify join, live-docs honored."""
+    terms = [t.lower() for t in _WORD.findall(phrase)]
+    if len(terms) < 2:
+        raise ValueError("sloppy phrase needs at least two terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    spark = engine.spark
+    distinct, joined = _position_arrays(engine, terms)
+    if joined is None:
+        raise ValueError("index has no positional sidecar (IndexConfig.positions)")
+    tp = engine.fetch_terms(distinct)
+    if any(tp[t] is None for t in distinct):
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    col_of = {t: f"p{distinct.index(t)}" for t in distinct}
+    cond = _slop_chain_cond(terms, col_of, slop)
+    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
+
+
+def phrase_slop_search(docs: DataFrame, phrase: str, slop: int,
+                       id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Scan-side ordered-sloppy-phrase twin (no index): tokenize, build
+    per-term position lists, apply the identical reachability chain — the
+    oracle-able reference semantics for index_phrase_slop."""
+    terms = [t.lower() for t in _WORD.findall(phrase)]
+    if len(terms) < 2:
+        raise ValueError("sloppy phrase needs at least two terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    distinct = list(dict.fromkeys(terms))
+    with_pos = docs.withColumn("__ts", _tokens_col(content_col))
+    for i, t in enumerate(distinct):
+        plist = F.filter(
+            F.transform(F.col("__ts"), lambda x, j: F.when(x == F.lit(t), j.cast("long"))),
+            lambda v: v.isNotNull(),
+        )
+        with_pos = with_pos.withColumn(f"p{i}", plist)
+    col_of = {t: f"p{distinct.index(t)}" for t in distinct}
+    cond = _slop_chain_cond(terms, col_of, slop)
+    return with_pos.filter(cond).select(id_col)
+
+
+def index_prefix_search(engine, prefix: str) -> DataFrame:
+    """Wildcard/prefix query (``util*`` — the Lucene PrefixQuery shape, a
+    first-reach query for source-code search): docs holding ANY kept token
+    starting with ``prefix``, answered entirely from the index with ZERO
+    driver-side dictionary expansion — the postings scan is pruned by a
+    pushed StringStartsWith on the range-sorted term column (parquet
+    row-group min/max stats do the dictionary's work, the same pruning the
+    reference's chunk lookup table provides for exact terms,
+    wasm/chunks.c:56-72), matching lists decode executor-side, and distinct
+    docIDs honor live-docs semantics. At 10^12 docs the plan touches only
+    the row groups whose term range intersects [prefix, prefix+∞) — never
+    the dictionary, never the corpus.
+
+    Semantics are over the index's kept token stream (normalized builds
+    match normalized tokens). A prefix that no token can start with — empty,
+    non-alphanumeric, or longer than MAX_TERM_BYTES (such runs are dropped
+    at build) — returns empty without a job; prefix matching is
+    case-insensitive like every term surface."""
+    p = prefix.lower()
+    if not p:
+        raise ValueError("empty prefix")
+    from ..tokenizer import MAX_TERM_BYTES
+
+    if not _WORD.fullmatch(p) or len(p.encode("utf-8")) > MAX_TERM_BYTES:
+        return engine.spark.range(0).select(F.col("id").alias("doc_id"))
+    dec = engine._decoded_for(F.col("term").startswith(p))
+    return engine._live_filter_df(dec.select("doc_id").distinct())
+
+
+def prefix_search(docs: DataFrame, prefix: str, id_col: str = "doc_id",
+                  content_col: str = "content") -> DataFrame:
+    """Scan-side prefix-query twin: docs whose token stream holds any token
+    starting with ``prefix``. A provably-necessary linear rlike precheck —
+    a kept token is always delimiter-bounded on the left, so lower(content)
+    must contain ``(^|[^a-z0-9])prefix`` — fronts the tokenize+exists, the
+    same short-circuit discipline as phrase_col."""
+    p = prefix.lower()
+    if not p:
+        raise ValueError("empty prefix")
+    from ..tokenizer import MAX_TERM_BYTES
+
+    if not _WORD.fullmatch(p) or len(p.encode("utf-8")) > MAX_TERM_BYTES:
+        return docs.sparkSession.range(0).select(F.col("id").alias(id_col))
+    pre = F.lower(F.col(content_col)).rlike("(^|[^a-z0-9])" + p)
+    exact = F.exists(_tokens_col(content_col), lambda t: t.startswith(p))
+    return docs.filter(pre & exact).select(id_col)
+
+
+_WILDCARD_OK = re.compile(r"[a-z0-9*?]+")
+
+
+def _wildcard_parts(pattern: str) -> tuple[str, str, str]:
+    """(lowered pattern, leading literal prefix, anchored regex). Raises on
+    patterns no kept token could match (empty, or chars outside [a-z0-9*?])."""
+    p = pattern.lower()
+    if not p or not _WILDCARD_OK.fullmatch(p):
+        raise ValueError(f"bad wildcard pattern {pattern!r}: tokens are [a-z0-9]+")
+    prefix = re.match(r"[a-z0-9]*", p).group(0)
+    rx = "".join(".*" if c == "*" else "." if c == "?" else c for c in p)
+    return p, prefix, rx
+
+
+def index_wildcard_search(engine, pattern: str, max_expansions: int = 1024) -> DataFrame:
+    """General wildcard query over kept tokens (`s?a*`, `*name` — Lucene
+    WildcardQuery: `*` any run, `?` one char), the MultiTermQuery rewrite
+    done Spark-side:
+
+      trailing-star fast path — `prefix*` IS a prefix query: zero
+        expansion, pruned StartsWith postings scan (index_prefix_search);
+      expansion — otherwise the DICTIONARY sidecar (term_stats: one row per
+        term, ~10^-4 of postings bytes) is scanned distributed with the
+        anchored regex, pre-pruned by StartsWith on any leading literal;
+        matches are collected (bounded-metadata: hard-capped at
+        ``max_expansions``, Lucene's bounded-rewrite discipline — beyond it
+        the query errors rather than silently truncating results);
+      evaluation — ONE postings scan pruned by In(term, expanded) decodes
+        matching lists executor-side; distinct docIDs honor live-docs.
+
+    At 10^12 docs the dictionary scan is the only unpruned-by-stats step for
+    leading-wildcard patterns, and it reads the term column of a
+    dictionary-sized sidecar — never postings, never the corpus (the same
+    cost class as suggest_terms' edit-distance scan)."""
+    p, prefix, rx = _wildcard_parts(pattern)
+    if "*" not in p and "?" not in p:  # pure literal = exact term membership
+        dec = engine._decoded_for([p])
+        return engine._live_filter_df(dec.select("doc_id").distinct())
+    if prefix and p == prefix + "*":  # single trailing star
+        return index_prefix_search(engine, prefix)
+    cand = engine._term_stats_df.select("term")
+    if prefix:
+        cand = cand.filter(F.col("term").startswith(prefix))  # pushdown prune
+    matched = cand.filter(F.col("term").rlike(f"^{rx}$")).distinct()
+    terms = [r["term"] for r in matched.limit(max_expansions + 1).collect()]
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"wildcard {pattern!r} expands past max_expansions={max_expansions}")
+    if not terms:
+        return engine.spark.range(0).select(F.col("id").alias("doc_id"))
+    dec = engine._decoded_for(terms)
+    return engine._live_filter_df(dec.select("doc_id").distinct())
+
+
+def wildcard_search(docs: DataFrame, pattern: str, id_col: str = "doc_id",
+                    content_col: str = "content") -> DataFrame:
+    """Scan-side wildcard twin: docs whose token stream holds any token
+    matching the pattern. The longest literal segment fronts the tokenize
+    as a contains() precheck — provably necessary (any matching token
+    contains every literal segment), same short-circuit discipline as
+    phrase_col / prefix_search."""
+    p, _prefix, rx = _wildcard_parts(pattern)
+    segs = [s for s in re.split(r"[*?]+", p) if s]
+    cond = F.exists(_tokens_col(content_col), lambda t: t.rlike(f"^{rx}$"))
+    if segs:
+        longest = max(segs, key=len)
+        cond = F.contains(F.lower(F.col(content_col)), F.lit(longest)) & cond
+    return docs.filter(cond).select(id_col)
+
+
 def near_search(docs: DataFrame, terms: list[str], slop: int,
                 id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """Scan-side NEAR/slop twin (no index): tokenize, build per-term

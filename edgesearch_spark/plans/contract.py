@@ -1226,6 +1226,94 @@ WHERE greatest(i0, i1, i2) - least(i0, i1, i2) <= {NEAR_SLOP}
 """
 
 
+SLOP_PHRASE = "scan filter join"
+SLOP = 4
+
+
+def q_idx_phrase_slop(spark, sf_dir):
+    """ORDERED sloppy phrase off the positional sidecar: terms in phrase
+    order, ≤ SLOP intervening kept tokens between each consecutive pair
+    (Lucene ordered SpanNearQuery semantics). Computed as an iterative
+    reachability chain over per-term position arrays — JVM higher-order
+    expressions only, linear in phrase length, no docs-store fetch."""
+    from ..functions.textsearch import index_phrase_slop
+
+    eng = _engine_for(spark, sf_dir)
+    return index_phrase_slop(eng, SLOP_PHRASE, SLOP)
+
+
+# ordered chain = exists positions i0 < i1 < i2 with each consecutive gap
+# ≤ SLOP+1; a join chain on (doc_id, bounded gap) IS exists-a-chain
+_SLOP_T = SLOP_PHRASE.split()
+SQL_IDX_PHRASE_SLOP = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS i FROM toks)
+SELECT DISTINCT p0.doc_id
+FROM (SELECT doc_id, i AS i0 FROM pos WHERE term = '{_SLOP_T[0]}') p0
+JOIN (SELECT doc_id, i AS i1 FROM pos WHERE term = '{_SLOP_T[1]}') p1
+  ON p1.doc_id = p0.doc_id AND i1 > i0 AND i1 <= i0 + {SLOP + 1}
+JOIN (SELECT doc_id, i AS i2 FROM pos WHERE term = '{_SLOP_T[2]}') p2
+  ON p2.doc_id = p0.doc_id AND i2 > i1 AND i2 <= i1 + {SLOP + 1}
+"""
+
+
+PREFIX = "s"  # expands to scan/slow/small/sort/spark/stream in the dictionary
+
+
+def q_idx_prefix_search(spark, sf_dir):
+    """Wildcard/prefix query (`s*` — the Lucene PrefixQuery shape, a
+    first-reach query for source-code search) with ZERO driver-side
+    dictionary expansion: the postings scan is pruned by a pushed
+    StringStartsWith on the range-sorted term column (parquet row-group
+    min/max stats play the dictionary's role — the same pruning the
+    reference's chunk lookup table gives exact terms), matching lists
+    decode executor-side, distinct docIDs honor live-docs. At 10^12 docs
+    the plan touches only row groups intersecting [prefix, prefix+∞)."""
+    from ..functions.textsearch import index_prefix_search
+
+    eng = _engine_for(spark, sf_dir)
+    return index_prefix_search(eng, PREFIX)
+
+
+SQL_IDX_PREFIX_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id FROM toks WHERE len(list_filter(ts, t -> t LIKE '{PREFIX}%')) > 0
+"""
+
+
+WILDCARD = "s?a*"  # expands to scan / small / spark in the dictionary
+
+
+def q_idx_wildcard_search(spark, sf_dir):
+    """General wildcard query (`s?a*` — Lucene WildcardQuery: `*` any run,
+    `?` one char) as a bounded MultiTermQuery rewrite: the dictionary
+    sidecar is scanned distributed (StartsWith-pruned by the leading
+    literal), matches are hard-capped at max_expansions (error past it,
+    never silent truncation), and ONE In-pruned postings scan decodes the
+    expanded terms executor-side. `prefix*` patterns skip expansion
+    entirely and rewrite to the pushed-StartsWith prefix plan."""
+    from ..functions.textsearch import index_wildcard_search
+
+    eng = _engine_for(spark, sf_dir)
+    return index_wildcard_search(eng, WILDCARD)
+
+
+SQL_IDX_WILDCARD_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE len(list_filter(ts, t -> t LIKE '{WILDCARD.replace("*", "%").replace("?", "_")}')) > 0
+"""
+
+
 def q_regex_search(spark, sf_dir):
     """Regex over content with required-literal substring prefiltering
     (trigram-index idea, Cox 2012, evaluated scan-side): the cheap
@@ -1595,9 +1683,15 @@ LIMIT 20
 # locally).  ROTATION (VERDICT r5 next #6): each round 2-3 tail entries
 # rotate back inside the window so no entry goes permanently unofficial —
 # r6 rotates tpch_q1, window_first_event, sessionize in and parks five
-# scalar-function twins (green since r2) in their place.
+# scalar-function twins (green since r2) in their place; the two newest r6
+# operators (idx_prefix_search, idx_phrase_slop) lead, letting
+# multimodal_meta + pipeline_quality_dedup (official-green in r5) age into
+# the tail for a later rotation.
 QUERIES = {
     # --- newest index-engine surfaces (r5/r6) ---
+    "idx_prefix_search": (q_idx_prefix_search, SQL_IDX_PREFIX_SEARCH),
+    "idx_wildcard_search": (q_idx_wildcard_search, SQL_IDX_WILDCARD_SEARCH),
+    "idx_phrase_slop": (q_idx_phrase_slop, SQL_IDX_PHRASE_SLOP),
     "idx_phrase_positions": (q_idx_phrase_positions, SQL_IDX_PHRASE_POSITIONS),
     "idx_near_slop": (q_idx_near_slop, SQL_IDX_NEAR_SLOP),
     "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),

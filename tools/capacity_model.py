@@ -66,6 +66,15 @@ def measure(index_dir: str) -> dict:
         # adjacency postings — presence read from stats.json like the engine
         "bigram_bytes": tree_bytes("bigram_postings")
         if stats.get("bigram_min_df") is not None else 0,
+        # optional positional sidecar (IndexConfig.positions): delta-varint
+        # position blobs — one position per posting OCCURRENCE, so it scales
+        # with corpus tokens (the dominant sidecar when enabled)
+        "positions_bytes": tree_bytes("positions") if stats.get("positions") else 0,
+        # overlong-run trigram sidecar: postings only over flagged docs'
+        # dropped runs — size tracks the flagged fraction, not the corpus
+        "oltrigram_bytes": tree_bytes("overlong_trigrams")
+        if stats.get("overlong_trigrams") and os.path.exists(
+            os.path.join(index_dir, "overlong_trigrams")) else 0,
     }
     return m
 
@@ -108,6 +117,14 @@ def project(m: dict, target_docs: int, hot_df: int) -> list[tuple[str, str, str]
         rows.append(("bigram sidecar (≤)", human(m["bigram_bytes"] * scale),
                      "hot-pair adjacency postings; volume bounded by hot-pair "
                      "co-adjacency, scales at most with postings"))
+    if m.get("positions_bytes"):
+        rows.append(("positions sidecar", human(m["positions_bytes"] * scale),
+                     "delta-varint per token occurrence — linear in corpus "
+                     "tokens (executor-side only; never driver-resident)"))
+    if m.get("oltrigram_bytes"):
+        rows.append(("overlong-trigram sidecar (≤)", human(m["oltrigram_bytes"] * scale),
+                     "trigram postings over flagged docs' dropped runs — "
+                     "linear in flagged-run bytes"))
     return rows
 
 
