@@ -1032,7 +1032,18 @@ class SearchEngine:
         the same schema (e.g. the hot-bigram common-grams sidecar).
         ``terms`` may be a Column predicate over ``term`` instead of a list —
         e.g. startswith for prefix queries, where the parquet scan prunes by
-        the pushed StringStartsWith on the range-sorted term column."""
+        the pushed StringStartsWith on the range-sorted term column.
+
+        The compressed shard rows are REPARTITIONED by (term, shard) before
+        decode: the build salts hot terms across 2^salt_shift shard rows
+        precisely so this work spreads, but the range-sorted layout packs a
+        term's shards into ONE row group, so Spark's file-packing hands them
+        all to a single scan task — decode, the doclens join, and the
+        partial aggregation of a df≈N term then run serially (a measured
+        ~2 s straggler at 500k docs, the r6 hot-route regression). The
+        shuffle moves only the pruned COMPRESSED payload (~1.6 bits/posting
+        × query terms), strictly smaller than the decoded shuffle the
+        downstream groupBy pays anyway."""
         from .sources.postings import DECODED_SCHEMA, _decode_rows
 
         pred = terms if isinstance(terms, Column) else F.col("term").isin(terms)
@@ -1041,6 +1052,7 @@ class SearchEngine:
             "term", "block_first_doc", "block_max_doc", "block_count",
             "block_offset", "block_kind", "payload",
         )
+        pt = pt.repartition(F.col("term"), F.col("block_first_doc"))
         return pt.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)
 
     def _doclens_df(self) -> DataFrame:
@@ -1123,7 +1135,12 @@ class SearchEngine:
         pt = self.positions_df()
         if pt is None:
             return None
-        pruned = pt.filter(F.col("term").isin(terms)).select("term", "df", "payload")
+        pruned = pt.filter(F.col("term").isin(terms)).select(
+            "term", "salt", "df", "payload")
+        # spread a hot term's salt shards across decode tasks (the range-
+        # sorted layout packs them into one row group → one scan task; see
+        # _decoded_for) — the shuffle moves only compressed position blobs
+        pruned = pruned.repartition(F.col("term"), F.col("salt")).drop("salt")
         return pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
 
     def _live_filter_df(self, df: DataFrame) -> DataFrame:

@@ -128,3 +128,72 @@ def batch_search(
         .filter(F.col("rank") < k)
         .select("query_id", "rank", "doc_id", F.round(F.col("score"), 6).alias("score"))
     )
+
+
+def batch_phrase_search(engine, phrases: DataFrame,
+                        phrase_col: str = "phrase") -> DataFrame:
+    """A whole TABLE of exact-phrase queries against the positional sidecar
+    as ONE DataFrame plan — the batch twin of
+    `functions.textsearch.index_phrase_search_positions` (the reference
+    serves one query per HTTP request, wasm/index.c:76-104; a training-data
+    pipeline asks "which of these 10^6 phrases appear where" and must join
+    them against the index once).
+
+    phrases: (query_id string, phrase string) — any size; the plan never
+    collects it. Returns (query_id, doc_id), one row per phrase query per
+    matching live doc. Phrases that tokenize to nothing, or whose terms are
+    absent, produce no rows.
+
+    Plan shape (scale notes):
+      * distinct query vocabulary joins the positions scan broadcast-side —
+        postings/positions never shuffle, and with many queries the vocab
+        union approaches the dictionary anyway so semi-join beats isin;
+      * per-(term, slot) rows broadcast against the decoded positions —
+        map-side, no shuffle;
+      * ONE shuffle total: groupBy (query_id, doc_id) collects (slot,
+        positions) structs; adjacency is a JVM higher-order exists/forall
+        chain with per-level variable names (p/i/s — pyspark derives HOF
+        variable names from Python signatures; identical names would
+        shadow), handling shard-split position arrays via per-slot
+        array_contains over every struct of that slot.
+    """
+    from ..tokenizer import _tokens_col
+
+    spark = engine.spark
+    toks = phrases.select(
+        "query_id", _tokens_col(phrase_col).alias("__ts"))
+    qterms = toks.select(
+        "query_id", F.posexplode("__ts").alias("slot", "term"))
+    qlen = toks.select("query_id", F.size("__ts").alias("n")).filter(F.col("n") > 0)
+
+    vocab = qterms.select("term").distinct()
+    pt = engine.positions_df()
+    if pt is None:
+        raise ValueError("index has no positional sidecar (IndexConfig.positions)")
+    from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
+
+    pruned = (pt.join(F.broadcast(vocab), "term")
+              .select("term", "salt", "df", "payload")
+              # spread hot terms' salt shards across decode tasks (the
+              # range-sorted layout packs a term's shards into one scan
+              # task otherwise — see SearchEngine._decoded_for)
+              .repartition(F.col("term"), F.col("salt")).drop("salt"))
+    decoded = pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
+
+    hits = decoded.join(F.broadcast(qterms), "term")
+    sl = hits.groupBy("query_id", "doc_id").agg(
+        F.collect_list(F.struct("slot", "positions")).alias("sl"))
+    sl = sl.join(F.broadcast(qlen), "query_id")
+
+    head = F.flatten(F.transform(
+        F.filter(F.col("sl"), lambda s: s["slot"] == 0),
+        lambda s: s["positions"]))
+    chain = F.exists(head, lambda p: F.forall(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda i: F.exists(
+            F.col("sl"),
+            lambda s: (s["slot"] == i.cast("int"))
+            & F.array_contains(s["positions"], p + i))))
+    cond = F.when(F.col("n") == 1, F.size(head) > 0).otherwise(chain)
+    return engine._live_filter_df(
+        sl.filter(cond).select("query_id", "doc_id"))

@@ -1287,6 +1287,43 @@ SELECT doc_id FROM toks WHERE len(list_filter(ts, t -> t LIKE '{PREFIX}%')) > 0
 """
 
 
+BATCH_PHRASES = [("q1", "stream column"), ("q2", "merge vector"),
+                 ("q3", "order key value")]
+
+
+def q_batch_phrase_table(spark, sf_dir):
+    """A TABLE of exact-phrase queries joined against the positional
+    sidecar in ONE plan (plans/batch.batch_phrase_search) — the batch twin
+    of idx_phrase_positions: distinct query vocabulary semi-joins the
+    positions scan, per-(term, slot) rows broadcast against the decoded
+    positions, one groupBy evaluates every phrase's adjacency chain. The
+    query mode a training pipeline needs ('which of these 10^6 phrases
+    appear where') that the reference's per-HTTP-request worker cannot
+    express."""
+    from ..plans.batch import batch_phrase_search
+
+    eng = _engine_for(spark, sf_dir)
+    phrases = spark.createDataFrame(BATCH_PHRASES, "query_id string, phrase string")
+    return batch_phrase_search(eng, phrases)
+
+
+def _phrase_cte(qid: str, ph: str) -> str:
+    ts = ph.split()
+    conds = " AND ".join(f"ts[i+{k}] = '{t}'" for k, t in enumerate(ts))
+    return (f"SELECT '{qid}' AS query_id, doc_id FROM toks "
+            f"WHERE len(list_filter(range(1, len(ts) - {len(ts) - 2}), "
+            f"i -> {conds})) > 0")
+
+
+SQL_BATCH_PHRASE_TABLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+)
+{" UNION ALL ".join(_phrase_cte(q, p) for q, p in BATCH_PHRASES)}
+"""
+
+
 WILDCARD = "s?a*"  # expands to scan / small / spark in the dictionary
 
 
@@ -1692,6 +1729,7 @@ QUERIES = {
     "idx_prefix_search": (q_idx_prefix_search, SQL_IDX_PREFIX_SEARCH),
     "idx_wildcard_search": (q_idx_wildcard_search, SQL_IDX_WILDCARD_SEARCH),
     "idx_phrase_slop": (q_idx_phrase_slop, SQL_IDX_PHRASE_SLOP),
+    "batch_phrase_table": (q_batch_phrase_table, SQL_BATCH_PHRASE_TABLE),
     "idx_phrase_positions": (q_idx_phrase_positions, SQL_IDX_PHRASE_POSITIONS),
     "idx_near_slop": (q_idx_near_slop, SQL_IDX_NEAR_SLOP),
     "idx_regex_search": (q_idx_regex_search, SQL_IDX_REGEX_SEARCH),

@@ -68,3 +68,81 @@ def test_batch_boolean_mode(spark, index_dir, oracle):
     got = [r["doc_id"] for r in batch_search(spark, index_dir, qdf, k=30, scored=False).orderBy("rank").collect()]
     want = oracle.search(Query.make(require=["import"], exclude=["error"], k=30))
     assert got == want.doc_ids
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("batchposidx"))
+    build_index(spark, generate_corpus(spark, N, seed=21), out,
+                IndexConfig(block_size=16, salt_shift=6, positions=True),
+                order_cols=("repo", "path", "commit"))
+    return out
+
+
+def test_batch_phrase_matches_single_phrase_twin(spark, pos_index_dir):
+    """batch_phrase_search over a phrase table ≡ per-phrase
+    index_phrase_search_positions, including 1-term and no-match rows;
+    phrases that tokenize to nothing produce no rows."""
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_phrase_search_positions
+    from edgesearch_spark.plans.batch import batch_phrase_search
+
+    eng = SearchEngine(spark, pos_index_dir)
+    phrases = [("a", "import return"), ("b", "return import self"),
+               ("c", "license"), ("d", "zzz_nope import"), ("e", "...")]
+    out = batch_phrase_search(
+        eng, spark.createDataFrame(phrases, "query_id string, phrase string"))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    nonzero = 0
+    for qid, ph in phrases:
+        if qid == "e":
+            assert qid not in got  # tokenizes to nothing
+            continue
+        want = set(r["doc_id"] for r in
+                   index_phrase_search_positions(eng, ph).collect())
+        assert got.get(qid, set()) == want, (qid, ph)
+        nonzero += bool(want)
+    assert nonzero >= 2
+
+
+def test_batch_phrase_requires_positions(spark, index_dir):
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.plans.batch import batch_phrase_search
+
+    eng = SearchEngine(spark, index_dir)
+    with pytest.raises(ValueError, match="positional sidecar"):
+        batch_phrase_search(
+            eng, spark.createDataFrame([("a", "x y")], "query_id string, phrase string"))
+
+
+def test_batch_phrase_multisegment_deletes(spark, tmp_path_factory):
+    """Batch phrase honors segment unions + tombstones like the
+    single-phrase surface."""
+    from edgesearch_spark.functions.textsearch import index_phrase_search_positions
+    from edgesearch_spark.plans.batch import batch_phrase_search
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("batchposseg"))
+    cfg = IndexConfig(block_size=16, salt_shift=6, positions=True)
+    idx = IncrementalIndexer(spark, root, cfg, order_cols=("repo", "path", "commit"))
+    corpus = generate_corpus(spark, N, seed=21)
+    idx.ingest_batch(corpus.filter(F.col("path") < "src/m2"), 0)
+    idx.ingest_batch(corpus.filter(F.col("path") >= "src/m2"), 1)
+    eng = idx.engine()
+    ph = "import return"
+    want = sorted(r["doc_id"] for r in
+                  index_phrase_search_positions(eng, ph).collect())
+    out = batch_phrase_search(
+        eng, spark.createDataFrame([("a", ph)], "query_id string, phrase string"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == want and got
+    victims = got[:2]
+    idx.delete_docs(victims)
+    live = idx.engine()
+    out2 = batch_phrase_search(
+        live, spark.createDataFrame([("a", ph)], "query_id string, phrase string"))
+    got2 = sorted(r["doc_id"] for r in out2.collect())
+    assert got2 == [d for d in got if d not in victims]
