@@ -184,7 +184,7 @@ def main() -> None:
         "bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1",
         "dedup_minhash_lsh", "phrase_match", "idx_phrase_match", "idx_phrase_bigram",
         "idx_phrase_positions", "idx_near_slop", "idx_prefix_search",
-        "idx_wildcard_search", "idx_phrase_slop",
+        "idx_wildcard_search", "idx_phrase_slop", "batch_phrase_table",
         "regex_search", "idx_regex_search", "idx_facet_lang",
         "term_suggest", "idx_snippets",
     )
