@@ -1720,10 +1720,11 @@ LIMIT 20
 # locally).  ROTATION (VERDICT r5 next #6): each round 2-3 tail entries
 # rotate back inside the window so no entry goes permanently unofficial —
 # r6 rotates tpch_q1, window_first_event, sessionize in and parks five
-# scalar-function twins (green since r2) in their place; the two newest r6
-# operators (idx_prefix_search, idx_phrase_slop) lead, letting
-# multimodal_meta + pipeline_quality_dedup (official-green in r5) age into
-# the tail for a later rotation.
+# scalar-function twins (green since r2) in their place; the four newest r6
+# operators (idx_prefix_search, idx_wildcard_search, idx_phrase_slop,
+# batch_phrase_table) lead, letting ann_ivf_cells, embedding_norms,
+# multimodal_meta and pipeline_quality_dedup (all official-green in r5)
+# age past the 50-cap for a later rotation.
 QUERIES = {
     # --- newest index-engine surfaces (r5/r6) ---
     "idx_prefix_search": (q_idx_prefix_search, SQL_IDX_PREFIX_SEARCH),
