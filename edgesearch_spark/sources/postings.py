@@ -100,10 +100,17 @@ def _decode_pos_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | None = None) -> DataFrame:
-    """(term, doc_id, tf) rows. Pass ``terms`` to prune the scan (pushdown)."""
+def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | None = None,
+                     vocab: DataFrame | None = None) -> DataFrame:
+    """(term, doc_id, tf) rows. Pass ``terms`` (a small driver list) to prune
+    the scan with a pushed In-filter, or ``vocab`` (a 1-column ``term``
+    DataFrame of any cardinality) to prune with a broadcast semi-join — the
+    relational route for cluster-sized query vocabularies where an In-list
+    would explode the plan (plans/batch.py picks between them)."""
     pt = postings_table(spark, index_dir)
     if terms is not None:
         pt = pt.filter(F.col("term").isin(list(terms)))
+    elif vocab is not None:
+        pt = pt.join(F.broadcast(vocab.select("term")), "term", "left_semi")
     cols = pt.select("term", "block_first_doc", "block_max_doc", "block_count", "block_offset", "block_kind", "payload")
     return cols.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)

@@ -146,3 +146,85 @@ def test_batch_phrase_multisegment_deletes(spark, tmp_path_factory):
         live, spark.createDataFrame([("a", ph)], "query_id string, phrase string"))
     got2 = sorted(r["doc_id"] for r in out2.collect())
     assert got2 == [d for d in got if d not in victims]
+
+
+def test_batch_large_vocab_semi_join_plan(spark, index_dir, oracle):
+    """Past ISIN_MAX_TERMS distinct query terms the pruning must be a
+    broadcast semi-join — no literal In-list in the plan (VERDICT r6 #1:
+    at 10^6 queries a collected term list is a driver/plan explosion) —
+    and results must stay oracle-identical."""
+    from pyspark.sql import functions as F
+
+    # 10^4 distinct synthetic terms + two real queries mixed in
+    synth = spark.range(10_000).select(
+        F.concat(F.lit("vq"), F.col("id").cast("string")).alias("t"))
+    qdf = synth.select(
+        F.concat(F.lit("s"), F.col("t")).alias("query_id"),
+        F.array(F.col("t")).alias("require"),
+        F.array().cast("array<string>").alias("contain"),
+        F.array().cast("array<string>").alias("exclude"),
+    ).unionByName(spark.createDataFrame(
+        [("real1", ["import", "return"], [], []),
+         ("real2", ["value"], ["util9"], ["test", "main"])],
+        "query_id string, require array<string>, contain array<string>, exclude array<string>"))
+    out = batch_search(spark, index_dir, qdf, k=20, scored=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "large-vocab prune must be a semi-join"
+    # no literal In-list over the collected vocabulary anywhere in the plan
+    assert "vq777" not in plan and "vq9999" not in plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, spec in (("real1", dict(require=["import", "return"])),
+                      ("real2", dict(require=["value"], contain=["util9"],
+                                     exclude=["test", "main"]))):
+        want = oracle.search_bm25(Query.make(k=20, **spec))
+        assert [d for _, d in sorted(got.get(qid, []))] == want.doc_ids, qid
+    # the synthetic terms are absent from the index → no rows
+    assert not any(q.startswith("svq") for q in got)
+
+
+def test_batch_phrase_overlong_token_parity(spark, pos_index_dir):
+    """A phrase holding a >MAX_TERM_BYTES token matches NOTHING from both
+    the batch and the single-phrase surface (ADVICE r6: batch used to drop
+    the overlong token and match the remaining phrase)."""
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_phrase_search_positions
+    from edgesearch_spark.plans.batch import batch_phrase_search
+
+    eng = SearchEngine(spark, pos_index_dir)
+    long_tok = "x" * 300
+    ph = f"import {long_tok} return"
+    single = index_phrase_search_positions(eng, ph).collect()
+    assert single == []
+    out = batch_phrase_search(
+        eng, spark.createDataFrame([("a", ph), ("ok", "import return")],
+                                   "query_id string, phrase string"))
+    rows = out.collect()
+    assert not any(r["query_id"] == "a" for r in rows)
+    assert any(r["query_id"] == "ok" for r in rows)  # sibling unaffected
+
+
+def test_batch_phrase_large_vocab_semi_join_plan(spark, pos_index_dir):
+    """batch_phrase_search past ISIN_MAX_TERMS: semi-join prune, no literal
+    In-list, results identical to the single-phrase twin."""
+    from pyspark.sql import functions as F
+
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_phrase_search_positions
+    from edgesearch_spark.plans.batch import batch_phrase_search
+
+    eng = SearchEngine(spark, pos_index_dir)
+    synth = spark.range(2_000).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("query_id"),
+        F.concat(F.lit("pvq"), F.col("id").cast("string"), F.lit(" pvqx")).alias("phrase"))
+    qdf = synth.unionByName(spark.createDataFrame(
+        [("real", "import return")], "query_id string, phrase string"))
+    out = batch_phrase_search(eng, qdf)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "pvq1999" not in plan
+    got = sorted(r["doc_id"] for r in out.collect() if r["query_id"] == "real")
+    want = sorted(r["doc_id"] for r in
+                  index_phrase_search_positions(eng, "import return").collect())
+    assert got == want and got
