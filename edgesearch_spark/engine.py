@@ -557,6 +557,10 @@ class SearchEngine:
     # payload bytes the single-hot-term union-total probe may pull to the
     # driver before it switches to the distributed distinct-count
     union_probe_budget_bytes: int = 32 << 20
+    # below this many total postings across a _decoded_for term list, the
+    # pre-decode (term, shard) repartition is skipped — the work is too
+    # small to straggle and the shuffle stage would be pure fixed latency
+    decode_spread_min_postings: int = 65_536
     # terms allowed to hold a live decode memo at once (LRU; ≤16 MB each ⇒
     # ~1 GB decoded ceiling). Class attr so MultiSegmentEngine inherits.
     max_decoded_terms: int = 64
@@ -1043,7 +1047,16 @@ class SearchEngine:
         ~2 s straggler at 500k docs, the r6 hot-route regression). The
         shuffle moves only the pruned COMPRESSED payload (~1.6 bits/posting
         × query terms), strictly smaller than the decoded shuffle the
-        downstream groupBy pays anyway."""
+        downstream groupBy pays anyway.
+
+        The spread is GATED on term hotness (ADVICE r6): when every
+        requested term's df is already known (the _df_cache fetch_terms
+        populates on the query path) and the total postings volume is below
+        decode_spread_min_postings, the straggler it fixes cannot exist —
+        one task decodes everything in milliseconds — so cold lookups skip
+        the extra shuffle stage rather than pay it as fixed latency.
+        Unknown dfs (sidecar tables, Column predicates like prefix
+        StartsWith) keep the spread: it is the safe default."""
         from .sources.postings import DECODED_SCHEMA, _decode_rows
 
         pred = terms if isinstance(terms, Column) else F.col("term").isin(terms)
@@ -1052,7 +1065,13 @@ class SearchEngine:
             "term", "block_first_doc", "block_max_doc", "block_count",
             "block_offset", "block_kind", "payload",
         )
-        pt = pt.repartition(F.col("term"), F.col("block_first_doc"))
+        spread = True
+        if (postings_df is None and not isinstance(terms, Column)
+                and all(t in self._df_cache for t in terms)):
+            total = sum(self._df_cache[t] or 0 for t in terms)
+            spread = total > self.decode_spread_min_postings
+        if spread:
+            pt = pt.repartition(F.col("term"), F.col("block_first_doc"))
         return pt.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)
 
     def _doclens_df(self) -> DataFrame:
@@ -1125,14 +1144,33 @@ class SearchEngine:
             self._positions_df = self.spark.read.parquet(f"{self.index_dir}/positions")
         return self._positions_df
 
-    def _decoded_positions_for(self, terms: list[str]) -> DataFrame | None:
+    def positions_plan(self):
+        """Per-segment positional serving plan: ``(pos_df, uncov_postings)``
+        where ``pos_df`` (or None when no sidecar exists anywhere) is the
+        positional sidecar covering part of the corpus and
+        ``uncov_postings`` (or None when coverage is total) is the plain
+        postings table of the UNCOVERED part, for the caller's AND+verify
+        fallback. A single-shot index is all-or-nothing by construction so
+        the fallback side is always None here; MultiSegmentEngine overrides
+        with the covered/uncovered split (mirroring bigram_pair_plan — one
+        positions-less segment must not disable the sidecar for the whole
+        index). Sets ``last_positions_plan`` for observability."""
+        pos = self.positions_df()
+        self.last_positions_plan = (None if pos is None else
+                                    {"covered_segments": 1, "fallback_segments": 0})
+        return pos, None
+
+    def _decoded_positions_for(self, terms: list[str],
+                               positions_df: DataFrame | None = None) -> DataFrame | None:
         """(term, doc_id, positions array<long>) rows for the given terms,
         decoded executor-side off the positional sidecar (scan pruned by the
         term filter — the same pruned-fetch shape as _decoded_for). None
-        when the index carries no sidecar."""
+        when the index carries no sidecar. Pass ``positions_df`` to decode
+        an explicit sidecar table (the covered-segment union from
+        positions_plan) instead of the engine-wide one."""
         from .sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
 
-        pt = self.positions_df()
+        pt = positions_df if positions_df is not None else self.positions_df()
         if pt is None:
             return None
         pruned = pt.filter(F.col("term").isin(terms)).select(

@@ -472,11 +472,16 @@ def _position_arrays(engine, terms: list[str]):
     size()>0 conjunction — no per-term groupBy, no join chain (n-way joins
     would shuffle n times at 100 TB). Shard rows per (salt[, segment])
     flatten into one array; sort_array restores global position order
-    across segment unions. Returns (distinct terms, DataFrame | None)."""
+    across segment unions. Returns (distinct terms, DataFrame | None,
+    uncovered-postings DataFrame | None): the third element is the plain
+    postings table of index regions WITHOUT the sidecar (per-segment
+    route, engine.positions_plan) — callers union an AND+verify fallback
+    over it via _positions_fallback."""
     distinct = list(dict.fromkeys(terms))
-    dec = engine._decoded_positions_for(distinct)
-    if dec is None:
-        return distinct, None
+    pos_df, uncov = engine.positions_plan()
+    if pos_df is None:
+        return distinct, None, None
+    dec = engine._decoded_positions_for(distinct, positions_df=pos_df)
     aggs = [
         F.sort_array(F.flatten(F.collect_list(
             F.when(F.col("term") == F.lit(t), F.col("positions"))
@@ -486,7 +491,36 @@ def _position_arrays(engine, terms: list[str]):
     joined = dec.groupBy("doc_id").agg(*aggs)
     for i in range(len(distinct)):
         joined = joined.filter(F.size(F.col(f"p{i}")) > 0)
-    return distinct, joined
+    return distinct, joined, uncov
+
+
+def _positions_fallback(engine, uncov_posts: DataFrame, distinct: list[str],
+                        cond: Column, content_col: str) -> DataFrame:
+    """AND+verify twin for index regions lacking the positional sidecar:
+    candidates = docs (in those regions) holding EVERY distinct term, off
+    the uncovered segments' plain postings; fetch them (tombstone-aware),
+    rebuild the per-term position arrays p0…p{n-1} scan-side from the kept
+    token stream — the SAME column names and kept-token position space the
+    sidecar encodes, so the caller's proximity condition applies verbatim —
+    and filter behind the verify_on_candidates pushdown barrier (the
+    tokenize must never reach the docs scan). Segment docID ranges are
+    disjoint, so the union with the covered route has no overlap."""
+    dec = engine._decoded_for(distinct, postings_df=uncov_posts)
+    cands = (dec.groupBy("doc_id")
+             .agg(F.countDistinct("term").alias("nc"))
+             .filter(F.col("nc") == len(distinct)).select("doc_id"))
+    fetched = engine.fetch_docs_df(cands).withColumn(
+        "__ts", _tokens_col(content_col))
+    for i, t in enumerate(distinct):
+        # the HOF lambda is evaluated eagerly by F.transform, so capturing
+        # the loop variable directly is safe (same shape as near_search)
+        plist = F.filter(
+            F.transform(F.col("__ts"),
+                        lambda x, j: F.when(x == F.lit(t), j.cast("long"))),
+            lambda v: v.isNotNull(),
+        )
+        fetched = fetched.withColumn(f"p{i}", plist)
+    return verify_on_candidates(fetched, cond).select("doc_id")
 
 
 def index_phrase_search_positions(engine, phrase: str,
@@ -507,7 +541,10 @@ def index_phrase_search_positions(engine, phrase: str,
     Positions are kept-token indexes of the NORMALIZED stream, so this is
     sound on word_map / field_prefix / split_identifiers builds where the
     bigram sidecar must refuse. Falls back to index_phrase_search when the
-    index has no sidecar. Results honor live-docs (tombstone) semantics."""
+    index has no sidecar; index regions the sidecar doesn't cover (a
+    segment ingested before positions were enabled — engine.positions_plan)
+    are served by an AND+verify union branch instead of disabling the
+    route. Results honor live-docs (tombstone) semantics."""
     from functools import reduce
 
     terms = [t.lower() for t in _WORD.findall(phrase)]
@@ -518,7 +555,7 @@ def index_phrase_search_positions(engine, phrase: str,
         from ..oracle import Query
 
         return engine.search_df(Query.make(require=terms)).select("doc_id")
-    distinct, joined = _position_arrays(engine, terms)
+    distinct, joined, uncov = _position_arrays(engine, terms)
     if joined is None:
         return index_phrase_search(engine, phrase, content_col=content_col)
     tp = engine.fetch_terms(distinct)
@@ -531,7 +568,11 @@ def index_phrase_search_positions(engine, phrase: str,
         lambda p: reduce(lambda a, b: a & b,
                          [F.array_contains(arr, p + F.lit(i)) for arr, i in rest]),
     )
-    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
+    res = engine._live_filter_df(joined.filter(cond).select("doc_id"))
+    if uncov is not None:
+        res = res.unionByName(
+            _positions_fallback(engine, uncov, distinct, cond, content_col))
+    return res
 
 
 def _near_window_cond(n_arrays: int, slop: int) -> Column:
@@ -567,29 +608,27 @@ def index_near_search(engine, terms: list[str], slop: int) -> DataFrame:
 
     ``slop`` counts TOKEN distance in the kept stream: a phrase of n
     adjacent terms satisfies slop = n − 1. Raises on an index without the
-    sidecar — near_search is the scan-side twin for that case."""
+    sidecar — near_search is the scan-side twin for that case. Index
+    regions without the sidecar (per-segment route) are served by an
+    AND+verify union branch applying the identical window condition."""
     distinct = [t.lower() for t in dict.fromkeys(terms)]
     if len(distinct) < 2:
         raise ValueError("NEAR needs at least two distinct terms")
     if slop < 0:
         raise ValueError("slop must be ≥ 0")
     spark = engine.spark
-    _, joined = _position_arrays(engine, distinct)
+    _, joined, uncov = _position_arrays(engine, distinct)
     if joined is None:
         raise ValueError("index has no positional sidecar (IndexConfig.positions)")
     tp = engine.fetch_terms(distinct)
     if any(tp[t] is None for t in distinct):
         return spark.range(0).select(F.col("id").alias("doc_id"))
     cond = _near_window_cond(len(distinct), slop)
-    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
-
-
-def _lam(name: str, body) -> "callable":
-    """A one-arg lambda whose PARAMETER NAME is ``name``: pyspark derives
-    higher-order-function variable names from the Python signature, and a
-    nested lambda shadows a same-named outer variable — so every nesting
-    level of a composed expression needs a fresh name."""
-    return eval(f"lambda {name}: _body({name})", {"_body": body})  # noqa: S307
+    res = engine._live_filter_df(joined.filter(cond).select("doc_id"))
+    if uncov is not None:
+        res = res.unionByName(
+            _positions_fallback(engine, uncov, distinct, cond, "content"))
+    return res
 
 
 def _slop_chain_cond(terms: list[str], col_of: dict[str, str], slop: int) -> Column:
@@ -597,21 +636,26 @@ def _slop_chain_cond(terms: list[str], col_of: dict[str, str], slop: int) -> Col
     q1 < q2 < … < qn, one per phrase slot in PHRASE ORDER, each consecutive
     gap q{i+1} − q{i} ≤ slop + 1 (≤ slop intervening kept tokens; slop = 0
     is exact adjacency). Computed as iterative REACHABILITY — level i keeps
-    the positions of term i reachable from term i−1's kept set — so the
-    expression nests exactly two lambda levels per step, each with unique
-    variable names (see _lam), and evaluation is left-to-right linear
-    instead of exponential in n."""
+    the positions of term i reachable from term i−1's kept set — so
+    evaluation is left-to-right linear instead of exponential in n.
+
+    Plain nested lambdas are safe here on classic PySpark: _create_lambda
+    ignores Python signature names (always x/y/z) and the JVM fresh-names
+    every lambda variable at analysis, so nesting cannot shadow (verified
+    on the pinned pyspark; ADVICE r6 — a previous eval-based fresh-naming
+    shim was dead machinery). Spark Connect DOES derive variable names from
+    Python signatures; revisit if this ever runs there. HOF lambdas must
+    keep exactly one parameter — a default-arg capture would be counted as
+    the (value, index) two-arg form and bind the index column."""
+    def step(prev: Column, col: Column) -> Column:
+        def outer(q):
+            return F.exists(prev, lambda p: (q > p) & (q <= p + F.lit(slop + 1)))
+
+        return F.filter(col, outer)
+
     reach: Column = F.col(col_of[terms[0]])
-    for lvl, t in enumerate(terms[1:], start=1):
-        prev = reach
-
-        def outer(q, _prev=prev, _lvl=lvl):
-            def inner(p, _q=q):
-                return (_q > p) & (_q <= p + F.lit(slop + 1))
-
-            return F.exists(_prev, _lam(f"p{_lvl}", inner))
-
-        reach = F.filter(F.col(col_of[t]), _lam(f"q{lvl}", outer))
+    for t in terms[1:]:
+        reach = step(reach, F.col(col_of[t]))
     return F.size(reach) > 0
 
 
@@ -623,14 +667,16 @@ def index_phrase_slop(engine, phrase: str, slop: int) -> DataFrame:
     index_near_search, completing the proximity family: same pruned
     fetch/pivot shape (_position_arrays, one shuffle), then the reachability
     chain (_slop_chain_cond) entirely in JVM higher-order expressions — no
-    docs-store fetch, no verify join, live-docs honored."""
+    docs-store fetch, no verify join, live-docs honored. Index regions
+    without the sidecar (per-segment route) are served by an AND+verify
+    union branch applying the identical reachability chain."""
     terms = [t.lower() for t in _WORD.findall(phrase)]
     if len(terms) < 2:
         raise ValueError("sloppy phrase needs at least two terms")
     if slop < 0:
         raise ValueError("slop must be ≥ 0")
     spark = engine.spark
-    distinct, joined = _position_arrays(engine, terms)
+    distinct, joined, uncov = _position_arrays(engine, terms)
     if joined is None:
         raise ValueError("index has no positional sidecar (IndexConfig.positions)")
     tp = engine.fetch_terms(distinct)
@@ -638,7 +684,11 @@ def index_phrase_slop(engine, phrase: str, slop: int) -> DataFrame:
         return spark.range(0).select(F.col("id").alias("doc_id"))
     col_of = {t: f"p{distinct.index(t)}" for t in distinct}
     cond = _slop_chain_cond(terms, col_of, slop)
-    return engine._live_filter_df(joined.filter(cond).select("doc_id"))
+    res = engine._live_filter_df(joined.filter(cond).select("doc_id"))
+    if uncov is not None:
+        res = res.unionByName(
+            _positions_fallback(engine, uncov, distinct, cond, "content"))
+    return res
 
 
 def phrase_slop_search(docs: DataFrame, phrase: str, slop: int,

@@ -473,15 +473,46 @@ class MultiSegmentEngine(SearchEngine):
         # Positions are per-doc data keyed by GLOBAL docIDs (segments build
         # at their docID-space offset), so segment sidecars union soundly —
         # unlike the bigram sidecar, whose hot-pair selection is df-
-        # threshold-relative. Served only when EVERY segment carries one
-        # (an uncovered segment would silently drop its matches). Deletes
-        # are handled by _live_filter_df at the result surface.
+        # threshold-relative. This TOTAL-coverage surface stays None unless
+        # EVERY segment carries one (an uncovered segment would silently
+        # drop its matches — batch_phrase_search serves off it and has no
+        # per-query fallback branch); partially-covered indexes serve the
+        # single-query proximity family through positions_plan() instead.
+        # Deletes are handled by _live_filter_df at the result surface.
         if not hasattr(self, "_positions_union_df"):
             self._positions_union_df = None
             if all(self._segment_stats_flag(s, "positions") for s in self._segment_dirs):
                 self._positions_union_df = self.spark.read.parquet(
                     *[f"{s}/positions" for s in self._segment_dirs])
         return self._positions_union_df
+
+    def positions_plan(self):
+        """Per-segment positional route (VERDICT r6 #3, mirroring
+        bigram_pair_plan): segments that carry the sidecar serve
+        positions-exact; segments that don't contribute their plain
+        postings table for the caller's AND+verify fallback — one
+        positions-less segment (e.g. ingested before the config enabled
+        positions) no longer disables the sidecar for the WHOLE index.
+        Soundness: segment docID ranges are disjoint, so the covered union
+        and the fallback candidates partition the corpus — no overlap, no
+        gap — and both branches end in _live_filter_df / tombstone-aware
+        fetches."""
+        if not hasattr(self, "_positions_plan_cache"):
+            cov = [s for s in self._segment_dirs
+                   if self._segment_stats_flag(s, "positions")]
+            if not cov:
+                self._positions_plan_cache = (None, None, 0, 0)
+            else:
+                uncov = [s for s in self._segment_dirs if s not in cov]
+                pos = self.spark.read.parquet(*[f"{s}/positions" for s in cov])
+                up = (self.spark.read.parquet(*[f"{u}/postings" for u in uncov])
+                      if uncov else None)
+                self._positions_plan_cache = (pos, up, len(cov), len(uncov))
+        pos, up, n_cov, n_uncov = self._positions_plan_cache
+        self.last_positions_plan = (None if pos is None else
+                                    {"covered_segments": n_cov,
+                                     "fallback_segments": n_uncov})
+        return pos, up
 
     def oltrigrams_df(self):
         # Trigram rows are keyed by GLOBAL docIDs and the trigram alphabet

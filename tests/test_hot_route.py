@@ -289,3 +289,29 @@ def test_routed_query_fused_action_cuts_jobs(spark, engines):
     assert bool_jobs <= fused, (bool_jobs, fused)
     # scored mode adds the doclens scan + join (two more AQE stage jobs)
     assert bm25_jobs <= fused + 2, (bm25_jobs, fused)
+
+
+def test_decode_spread_gated_on_hotness(spark, index_dir):
+    """ADVICE r6: the pre-decode (term, shard) repartition exists to spread
+    HOT terms' shard rows; a cold lookup whose dfs are already known must
+    not pay the extra shuffle stage as fixed latency — and unknown dfs keep
+    the spread (safe default)."""
+    eng = SearchEngine(spark, index_dir)
+    eng.fetch_terms(["rare", "seventh", "hot"])  # populates _df_cache
+
+    def has_exchange(df):
+        return "Exchange hashpartitioning" in \
+            df._jdf.queryExecution().executedPlan().toString()
+
+    # cold: 20 + ~585 postings, far under the gate -> no repartition
+    assert not has_exchange(eng._decoded_for(["rare", "seventh"]))
+    # unknown df (never fetched) -> spread kept
+    assert has_exchange(eng._decoded_for(["pad0"]))
+    # force-hot: shrink the gate so 'hot' (df=N) is over it -> spread kept
+    eng.decode_spread_min_postings = 100
+    assert has_exchange(eng._decoded_for(["hot"]))
+    # results identical with and without the spread
+    got = sorted(r["doc_id"] for r in eng._decoded_for(["rare"]).collect())
+    eng.decode_spread_min_postings = 0
+    want = sorted(r["doc_id"] for r in eng._decoded_for(["rare"]).collect())
+    assert got == want and len(got) == 20

@@ -47,6 +47,28 @@ def ps_index(spark, tmp_path_factory):
     return out
 
 
+def test_prefix_unicode_lowering_parity(spark, tmp_path_factory):
+    """ADVICE r6 probe: delimiter chars whose lowercase lands in [a-z0-9]
+    (U+212A KELVIN SIGN → 'k') or expands (U+0130 'İ' → 'i' + combining
+    dot). The tokenizer lowers BEFORE splitting, so a Kelvin sign glues
+    onto the token in BOTH the index build and the scan twin (no token
+    starts with the prefix on either surface), and the İ expansion's
+    combining dot stays a delimiter on both. Pin index/scan/precheck parity
+    on such corpora."""
+    out = str(tmp_path_factory.mktemp("uniidx") / "idx")
+    rows = [("r", "p0", "c", "t", "aKutil b"),     # Kelvin glues: akutil
+            ("r", "p1", "c", "t", "xİutil y"),      # İ → i+dot: xi, util
+            ("r", "p2", "c", "t", "plain util z")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    build_index(spark, corpus, out, IndexConfig(block_size=16, salt_shift=7),
+                order_cols=("repo", "path", "commit"))
+    eng = SearchEngine(spark, out)
+    got = sorted(r["doc_id"] for r in index_prefix_search(eng, "util").collect())
+    want = sorted(r["doc_id"] for r in prefix_search(eng._docs_df, "util").collect())
+    assert got == want == [1, 2]  # İ-doc and plain doc; Kelvin-doc glued
+
+
 def test_prefix_matches_scan_twin(spark, ps_index):
     eng = SearchEngine(spark, ps_index)
     docs = eng._docs_df
