@@ -1193,37 +1193,57 @@ class SearchEngine:
         distributed twin of _bool_kernel (+ BM25 partials when scored).
         Missing require terms are the caller's short-circuit; missing
         contain/exclude terms are dropped here (reference rule); the
-        exclude-only quirk (union becomes the result) is the final branch."""
+        exclude-only quirk (union becomes the result) is the final branch.
+
+        Scores are BIT-IDENTICAL to _score_docs (VERDICT r6 #5 — this is
+        what lets _bm25_distributed skip the driver rescore): each term's
+        partial replicates the kernel's exact float64 operation order —
+        the per-term constant idf·(k1+1) is computed driver-side in Python
+        (column ``c``), knorm associates as k1·((1−b) + (b·dl)/avgdl),
+        w = tf/(tf+knorm) — and the per-doc sum folds the partials in
+        CALLER TERM ORDER via a sorted-struct aggregate, not F.sum (whose
+        partition-dependent add order reorders float sums). A doc missing a
+        contain term contributes no struct for it, exactly the kernel's
+        tf>0 mask."""
         require = list(dict.fromkeys(q.require))
         contain = [t for t in dict.fromkeys(q.contain) if tp[t] is not None]
         exclude = [t for t in dict.fromkeys(q.exclude) if tp[t] is not None]
         terms = list(dict.fromkeys(require + contain + exclude))
-        scoring = set(dict.fromkeys(list(q.require) + list(q.contain)))
+        # caller scoring order: first occurrence in require+contain — the
+        # order _score_docs sums in (fetch_terms preserves input order)
+        score_order = {t: i for i, t in enumerate(dict.fromkeys(list(q.require) + list(q.contain)))}
         rset, cset, eset = set(require), set(contain), set(exclude)
         tmeta = self.spark.createDataFrame(
             [
-                (t, float(self.idf(tp[t].df)), t in rset, t in cset, t in eset,
-                 t in scoring and tp[t] is not None)
+                (t, float(self.idf(tp[t].df)) * (self.k1 + 1),
+                 score_order.get(t, -1), t in rset, t in cset, t in eset,
+                 t in score_order and tp[t] is not None)
                 for t in terms
             ],
-            "term string, idf double, is_r boolean, is_c boolean, is_e boolean, is_s boolean",
+            "term string, c double, ord int, is_r boolean, is_c boolean, is_e boolean, is_s boolean",
         )
         hits = self._decoded_for(terms).join(F.broadcast(tmeta), "term")
         if scored:
-            w = F.col("tf") * (self.k1 + 1) / (
-                F.col("tf")
-                + F.lit(self.k1) * (1 - self.b + self.b * F.col("dl") / F.lit(float(self.avgdl)))
+            knorm = F.lit(self.k1) * (
+                F.lit(1 - self.b) + (F.lit(self.b) * F.col("dl")) / F.lit(float(self.avgdl))
             )
+            w = F.col("tf") / (F.col("tf") + knorm)
             hits = hits.join(self._doclens_df(), "doc_id").withColumn(
-                "partial", F.when(F.col("is_s"), F.col("idf") * w).otherwise(F.lit(0.0))
+                "partial",
+                F.when(F.col("is_s"), F.struct(F.col("ord"), (F.col("c") * w).alias("p"))),
             )
+            score_agg = F.aggregate(
+                F.array_sort(F.collect_list("partial")),
+                F.lit(0.0), lambda acc, x: acc + x["p"],
+            ).alias("score")
         else:
             hits = hits.withColumn("partial", F.lit(0.0))
+            score_agg = F.sum("partial").alias("score")
         per_doc = hits.groupBy("doc_id").agg(
             F.countDistinct(F.when(F.col("is_r"), F.col("term"))).alias("req_hit"),
             F.max(F.col("is_c").cast("int")).alias("con_hit"),
             F.max(F.col("is_e").cast("int")).alias("exc_hit"),
-            F.sum("partial").alias("score"),
+            score_agg,
         )
         if require or contain:
             cond = (F.col("req_hit") == len(require)) & (F.col("exc_hit") == 0)
@@ -1320,72 +1340,33 @@ class SearchEngine:
     def _bm25_distributed(
         self, q: Query, tp: dict, k_eff: int, exact_total: bool = True
     ) -> SearchResult:
-        """Distributed BM25 page: cluster-side score + top-(k_eff+margin)
-        candidate selection, then an exact driver rescore of just those
-        candidates in caller term order (bit-identical arithmetic to
-        search_bm25; hot terms fetch only candidate-bearing shards).
-
-        The margin absorbs float-sum reordering in the distributed partial
-        aggregation: Spark's sum order is partition-dependent, so two docs
-        within float noise of each other can swap in the cluster-side
-        ordering. The fetch VERIFIES its margin at runtime (ADVICE r3): it
-        is sufficient only if the exact k_eff-th score strictly beats the
-        last fetched row's cluster-side score plus a reordering bound eps —
-        every unfetched doc's cluster score is ≤ that row's, so its exact
-        score is < the kth and cannot enter the page. On failure the limit
-        widens ×4 and retries (terminates: the limit eventually covers the
-        whole matched set, which is exact by construction) — so results are
-        guaranteed identical to the kernel, not just overwhelmingly likely.
-
-        Candidate selection and the exact total ride ONE fused action
-        (_fused_topk_count) — the route's former count + TakeOrdered action
-        pair was job-scheduling-bound (VERDICT r5 #4). The matched plan is
-        persisted only if the (rare, margin-triggered) retry loop actually
-        re-executes it."""
+        """Distributed BM25 page as ONE fused cluster action: the matched
+        plan's scores are already BIT-IDENTICAL to the kernel's
+        (_matched_docs_df replicates _score_docs' float64 operation order
+        and folds partials in caller term order — see its docstring), so
+        the partition-local top-k + exact count of _fused_topk_count IS the
+        final page. No driver rescore, no verification margin, no retry
+        loop, and no lazy candidate-shard fetches (VERDICT r6 #5 — the
+        rescore stage was the route's remaining per-query job floor; its
+        margin machinery existed only because F.sum's partition-dependent
+        add order made cluster scores inexact by up to float noise)."""
         single = self._single_union_term(q, tp)
         matched = self._matched_docs_df(q, tp, scored=True)
-        persisted = False
-        try:
-            tp_s = self.fetch_terms(list(dict.fromkeys(q.require + q.contain)))
-            scoring = [p for p in tp_s.values() if p is not None]
-            limit = 2 * k_eff + 16
-            total = None
-            while True:
-                tops, n = self._fused_topk_count(matched, limit, by_score=True)
-                if total is None:
-                    if single is not None:
-                        total = int(single.df)  # exact from shard summaries
-                    else:
-                        total = n if exact_total else -1
-                    if total >= 0 and q.continuation >= total:
-                        return SearchResult(total, None, [], [])
-                cands = np.array(sorted(int(r["doc_id"]) for r in tops), dtype=np.int64)
-                if cands.size == 0:
-                    return SearchResult(max(total, 0), None, [], [])
-                scores = self._score_docs(scoring, cands)
-                if len(tops) < limit:
-                    break  # the whole matched set is in hand — exact
-                cluster_last = float(tops[-1]["score"])
-                eps = 1e-9 * (abs(cluster_last) + 1.0) * max(len(scoring), 1)
-                if cands.size >= k_eff:
-                    kth = float(np.partition(scores, -k_eff)[-k_eff])
-                    if kth > cluster_last + eps:
-                        break  # no unfetched doc can reach (or tie) the page
-                limit *= 4
-                if not persisted:
-                    matched = matched.persist()
-                    persisted = True
-        finally:
-            if persisted:
-                matched.unpersist()
-        if q.continuation >= cands.size:
+        tops, n = self._fused_topk_count(matched, k_eff, by_score=True)
+        if single is not None:
+            total = int(single.df)  # exact from shard summaries
+        else:
+            total = n if exact_total else -1
+        if total >= 0 and q.continuation >= total:
             return SearchResult(total, None, [], [])
-        order = np.lexsort((cands, -scores))
-        ranked_docs = cands[order][q.continuation : k_eff]
-        ranked_scores = scores[order][q.continuation : k_eff]
-        last = q.continuation + ranked_docs.size - 1
-        cont = None if (total >= 0 and last == total - 1) or ranked_docs.size < q.k else last + 1
-        return SearchResult(total, cont, ranked_docs.tolist(), ranked_scores.tolist())
+        page = tops[q.continuation : k_eff]
+        if not page:
+            return SearchResult(max(total, 0), None, [], [])
+        docs = [int(r["doc_id"]) for r in page]
+        scores = [float(r["score"]) for r in page]
+        last = q.continuation + len(docs) - 1
+        cont = None if (total >= 0 and last == total - 1) or len(docs) < q.k else last + 1
+        return SearchResult(total, cont, docs, scores)
 
     def _live_docs_filter(self):
         """Hook: fn(docs)->docs dropping non-visible docs, or None when all

@@ -783,14 +783,20 @@ def index_wildcard_search(engine, pattern: str, max_expansions: int = 1024) -> D
 
       trailing-star fast path — `prefix*` IS a prefix query: zero
         expansion, pruned StartsWith postings scan (index_prefix_search);
-      expansion — otherwise the DICTIONARY sidecar (term_stats: one row per
-        term, ~10^-4 of postings bytes) is scanned distributed with the
-        anchored regex, pre-pruned by StartsWith on any leading literal;
-        matches are collected (bounded-metadata: hard-capped at
-        ``max_expansions``, Lucene's bounded-rewrite discipline — beyond it
-        the query errors rather than silently truncating results);
-      evaluation — ONE postings scan pruned by In(term, expanded) decodes
-        matching lists executor-side; distinct docIDs honor live-docs.
+      prefixed patterns — the anchored regex is evaluated on the term
+        column INSIDE the StartsWith-pruned postings scan itself (VERDICT
+        r6 #6): the parquet source prunes row groups by the pushed
+        StringStartsWith on the range-sorted term column, the rlike runs as
+        a post-scan filter over those rows only, and NO term string ever
+        visits the driver — the expansion cap is enforced by a scalar
+        COUNT over the identically-pruned dictionary sidecar (Lucene's
+        bounded-rewrite discipline: past ``max_expansions`` the query
+        errors rather than silently truncating results);
+      leading-wildcard patterns — no prefix to prune by, so the DICTIONARY
+        sidecar (term_stats: one row per term, ~10^-4 of postings bytes) is
+        scanned distributed with the anchored regex and matches are
+        collected (≤ max_expansions strings, bounded metadata), then ONE
+        postings scan pruned by In(term, expanded) decodes matching lists.
 
     At 10^12 docs the dictionary scan is the only unpruned-by-stats step for
     leading-wildcard patterns, and it reads the term column of a
@@ -802,10 +808,19 @@ def index_wildcard_search(engine, pattern: str, max_expansions: int = 1024) -> D
         return engine._live_filter_df(dec.select("doc_id").distinct())
     if prefix and p == prefix + "*":  # single trailing star
         return index_prefix_search(engine, prefix)
-    cand = engine._term_stats_df.select("term")
+    pred = F.col("term").rlike(f"^{rx}$")
     if prefix:
-        cand = cand.filter(F.col("term").startswith(prefix))  # pushdown prune
-    matched = cand.filter(F.col("term").rlike(f"^{rx}$")).distinct()
+        pred = F.col("term").startswith(prefix) & pred
+        n = (engine._term_stats_df.filter(pred).select("term").distinct()
+             .limit(max_expansions + 1).count())
+        if n > max_expansions:
+            raise ValueError(
+                f"wildcard {pattern!r} expands past max_expansions={max_expansions}")
+        if n == 0:
+            return engine.spark.range(0).select(F.col("id").alias("doc_id"))
+        dec = engine._decoded_for(pred)
+        return engine._live_filter_df(dec.select("doc_id").distinct())
+    matched = engine._term_stats_df.select("term").filter(pred).distinct()
     terms = [r["term"] for r in matched.limit(max_expansions + 1).collect()]
     if len(terms) > max_expansions:
         raise ValueError(

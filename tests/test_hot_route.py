@@ -216,10 +216,12 @@ def test_union_total_single_hot_probe_budgeted(spark, index_dir):
 
 
 def test_bm25_distributed_margin_widens_on_ties(spark, tmp_path_factory):
-    """All-tied scores defeat the fetch margin (the kth exact score cannot
-    strictly beat the cluster cutoff), so the verified fetch must WIDEN
-    until it holds the complete matched set — and still return exactly the
-    kernel's page (ADVICE r3: no silent top-k cut within float noise)."""
+    """All-tied scores are the adversarial case for distributed top-k:
+    historically they defeated the rescore-fetch margin and forced a widen
+    loop; now cluster-side scores are bit-identical to the kernel's
+    (_matched_docs_df's ordered fold), so the fused top-k must already cut
+    ties by doc_id exactly like the kernel — same page, same scores, no
+    silent top-k cut within float noise (ADVICE r3 lineage)."""
     out = str(tmp_path_factory.mktemp("tieidx"))
     n = 60
     docs = spark.createDataFrame(
