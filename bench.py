@@ -83,6 +83,63 @@ def _postings_stats(index_dir: str) -> dict:
     return out
 
 
+def _prev_round_control(corpus_path: str, n_corpus: int, cpus: int) -> dict | None:
+    """Build the PREVIOUS round's committed code once, in a detached git
+    worktree, on the identical materialized corpus — same window, same
+    host, same spec — and return its build throughput. The ratio
+    current/previous separates code changes from co-tenant host drift (the
+    round-6 adjudication crisis, VERDICT r6 #4). Returns None when git
+    state or the subprocess makes the control impossible (never fails the
+    bench)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "-C", repo, "log", "--grep", "^round ", "-1", "--format=%H"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if not commit:
+            return None
+        wt = f"/tmp/bench_prev_{commit[:10]}"
+        if not os.path.exists(os.path.join(wt, "bench.py")):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", "-f", wt, commit],
+                capture_output=True, text=True, timeout=120, check=True,
+            )
+        script = (
+            "import json, shutil, sys, time\n"
+            f"sys.path.insert(0, {wt!r})\n"
+            "from edgesearch_spark.session import get_spark\n"
+            "from edgesearch_spark.build import IndexConfig, build_index\n"
+            "from edgesearch_spark.corpus import generate_corpus\n"
+            f"spark = get_spark(app_name='bench-prev', cores={cpus}, shuffle_partitions={cpus})\n"
+            "shutil.rmtree('/tmp/bench_prev_warm', ignore_errors=True)\n"
+            "build_index(spark, generate_corpus(spark, 2000, seed=1), '/tmp/bench_prev_warm',\n"
+            "            IndexConfig(), order_cols=('repo', 'path', 'commit'), resume=False)\n"
+            f"corpus = spark.read.parquet({corpus_path!r})\n"
+            "best = float('inf')\n"
+            f"for _ in range({max(1, int(os.environ.get('BENCH_TRIALS', '2')))}):\n"
+            "    shutil.rmtree('/tmp/bench_prev_idx', ignore_errors=True)\n"
+            "    t0 = time.monotonic()\n"
+            "    build_index(spark, corpus, '/tmp/bench_prev_idx', IndexConfig(),\n"
+            "                order_cols=('repo', 'path', 'commit'), resume=False)\n"
+            "    best = min(best, time.monotonic() - t0)\n"
+            "shutil.rmtree('/tmp/bench_prev_idx', ignore_errors=True)\n"
+            "print('PREVCTL ' + json.dumps({'build_sec': round(best, 3)}))\n"
+        )
+        r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                           text=True, timeout=1800)
+        for line in r.stdout.splitlines():
+            if line.startswith("PREVCTL "):
+                d = json.loads(line[len("PREVCTL "):])
+                return {"commit": commit[:12], "build_sec": d["build_sec"],
+                        "docs_per_sec": round(n_corpus / d["build_sec"], 2)}
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -120,6 +177,45 @@ def main() -> None:
         build_sec = min(build_sec, time.monotonic() - t0)
     docs_per_sec = n_corpus / build_sec
     queries["index_build"] = round(build_sec, 3)
+
+    # ---- positions-enabled build cost (VERDICT r6 #2): the positional
+    # sidecar is the backbone of the proximity family and the one sidecar
+    # whose size is linear in corpus TOKENS — its build price must be a
+    # measured number, not a caveat. One build, same corpus/spec. ----
+    pos_detail: dict = {}
+    if os.environ.get("BENCH_POSITIONS", "1") != "0":
+        pos_out = f"/tmp/bench_idx_pos_{cpus}_{n_corpus}"
+        shutil.rmtree(pos_out, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(spark, corpus, pos_out, IndexConfig(positions=True),
+                    order_cols=("repo", "path", "commit"), resume=False)
+        pos_build_sec = time.monotonic() - t0
+        queries["index_build_positions"] = round(pos_build_sec, 3)
+        pos_detail["positions_build_docs_per_sec"] = round(n_corpus / pos_build_sec, 2)
+        pos_detail["positions_build_overhead"] = round(pos_build_sec / build_sec, 3)
+        try:
+            with open(os.path.join(pos_out, "_manifest", "positions.json")) as f:
+                pm = json.load(f)
+            with open(os.path.join(pos_out, "stats.json")) as f:
+                pstats = json.load(f)
+            pos_detail.update({
+                "positions_stage_sec": round(pm["seconds"], 2),
+                "positions_payload_bytes": pm["extra"]["payload_bytes"],
+                "positions_total_tokens": pstats["total_tokens"],
+                "bits_per_position": round(
+                    8 * pm["extra"]["payload_bytes"] / max(1, pstats["total_tokens"]), 3),
+            })
+        except (OSError, KeyError, ValueError):
+            pass
+        shutil.rmtree(pos_out, ignore_errors=True)
+
+    # ---- previous-round same-window control (VERDICT r6 #4): build the
+    # prior round's code ONCE on the identical corpus in this same window,
+    # so code-vs-host attribution is part of the artifact instead of a
+    # post-hoc adjudication across contaminated windows. ----
+    prev_ctl = None
+    if os.environ.get("BENCH_PREV_CONTROL", "1") != "0":
+        prev_ctl = _prev_round_control(corpus_path, n_corpus, cpus)
 
     # ---- query batches: INTERLEAVED multi-trial protocol (VERDICT r3 #2) ----
     # Every query runs BENCH_QUERY_TRIALS times in round-robin inside one
@@ -178,8 +274,20 @@ def main() -> None:
     from edgesearch_spark.plans.contract import QUERIES, _index_for
     from edgesearch_spark.operators.dedup import minhash_lsh_candidates
 
-    _index_for(spark, sf_dir)  # idx-entry index build/cache is NOT timed
+    idx_dir = _index_for(spark, sf_dir)  # idx-entry index build/cache is NOT timed
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # batch query-table row (VERDICT r6 #1 done-criterion): ≥10^3 queries /
+    # >ISIN_MAX_TERMS distinct terms in ONE plan, exercising the broadcast
+    # semi-join prune (never a driver-collected In-list). Query-table
+    # construction is setup, not timed.
+    from edgesearch_spark.plans.batch import batch_search
+
+    bterms = [r["term"] for r in spark.read.parquet(f"{idx_dir}/term_stats")
+              .select("term").distinct().limit(2000).collect()]
+    bq = [(f"q{i}", [bterms[(2 * i) % len(bterms)]],
+           [bterms[(2 * i + 1) % len(bterms)]], []) for i in range(1000)]
+    bq_df = spark.createDataFrame(
+        bq, "query_id string, require array<string>, contain array<string>, exclude array<string>")
     contract_names = (
         "bm25_topk", "dedup_shingle_jaccard", "ann_cosine_topk", "tpch_q1",
         "dedup_minhash_lsh", "phrase_match", "idx_phrase_match", "idx_phrase_bigram",
@@ -200,6 +308,9 @@ def main() -> None:
         minhash_lsh_candidates(docs_sf, "doc_id", "text", n=3, num_hashes=32,
                                band_size=4, family="xx").count()
         record("dedup_minhash_lsh_xx", time.monotonic() - t0)
+        t0 = time.monotonic()
+        batch_search(spark, idx_dir, bq_df, k=10, scored=True).count()
+        record("batch_bool_1k", time.monotonic() - t0)
 
     spread: dict[str, list[float]] = {}
     for name, vals in samples.items():
@@ -229,8 +340,13 @@ def main() -> None:
             "query_trials": n_trials,
             "driver_maxrss_mb": driver_rss_mb,
             "full_detail": "BENCH/last_run.json",
+            **pos_detail,
         },
     }
+    if prev_ctl is not None:
+        summary["detail"]["prev_round"] = prev_ctl
+        summary["detail"]["prev_round_same_window_ratio"] = round(
+            docs_per_sec / prev_ctl["docs_per_sec"], 3)
     full = dict(summary)
     full["detail"] = {**summary["detail"], "query_spread": spread,
                       **_postings_stats(out)}

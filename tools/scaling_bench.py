@@ -34,7 +34,10 @@ def run_bench(cpus: int, docs: int) -> dict:
            "BENCH_TRIALS": "1",
            # scaling pairs measure BUILD throughput; one query sweep per
            # invocation keeps pair cadence at the r3 protocol's
-           "BENCH_QUERY_TRIALS": "1"}
+           "BENCH_QUERY_TRIALS": "1",
+           # pair cadence: no positions build, no prev-round control inside
+           # pairs (the official bench run carries both once per round)
+           "BENCH_POSITIONS": "0", "BENCH_PREV_CONTROL": "0"}
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,
