@@ -1717,14 +1717,14 @@ LIMIT 20
 # FIRST 50 entries in dict order, so the newest / riskiest operators lead
 # and the tail (51+) holds only long-stable SQL twins with multiple rounds
 # of green history (tools/check_contract.py always runs all of them
-# locally).  ROTATION (VERDICT r5 next #6): each round 2-3 tail entries
+# locally).  ROTATION (VERDICT r5 next #6): each round 2-3+ tail entries
 # rotate back inside the window so no entry goes permanently unofficial —
-# r6 rotates tpch_q1, window_first_event, sessionize in and parks five
-# scalar-function twins (green since r2) in their place; the four newest r6
-# operators (idx_prefix_search, idx_wildcard_search, idx_phrase_slop,
-# batch_phrase_table) lead, letting ann_ivf_cells, embedding_norms,
-# multimodal_meta and pipeline_quality_dedup (all official-green in r5)
-# age past the 50-cap for a later rotation.
+# r7 rotates ann_ivf_cells, embedding_norms, multimodal_meta,
+# pipeline_quality_dedup, rollup_revenue and pivot_qty in (all capped
+# since r6; the first four were official-green in r5) and parks the six
+# entries that just re-earned official green in r6 (phrase_match,
+# regex_search, idx_facet_lang, term_suggest, idx_snippets,
+# code_token_stats) in their place.
 QUERIES = {
     # --- newest index-engine surfaces (r5/r6) ---
     "idx_prefix_search": (q_idx_prefix_search, SQL_IDX_PREFIX_SEARCH),
@@ -1738,16 +1738,17 @@ QUERIES = {
     "idx_phrase_bigram": (q_idx_phrase_bigram, SQL_IDX_PHRASE_BIGRAM),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "idx_deletes": (q_idx_deletes, SQL_IDX_DELETES),
-    # --- rotated back into the window this round (r5 tail) ---
+    # --- rotated back into the window this round (r6 tail) ---
+    "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "pipeline_quality_dedup": (q_pipeline_quality_dedup, SQL_PIPELINE_QUALITY_DEDUP),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "pivot_qty": (q_pivot_qty, SQL_PIVOT_QTY),
+    # --- held official from r6 (one more round of green history) ---
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "window_first_event": (q_window_first_event, SQL_WINDOW_FIRST_EVENT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
-    "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
-    "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
-    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
-    "idx_snippets": (q_idx_snippets, SQL_IDX_SNIPPETS),
-    "code_token_stats": (q_code_token_stats, SQL_CODE_TOKEN_STATS),
     "idx_hot_contain": (q_idx_hot_contain, SQL_IDX_HOT_CONTAIN),
     "idx_bool_mixed": (q_idx_bool_mixed, SQL_IDX_BOOL_MIXED),
     "idx_bm25_topk": (q_idx_bm25_topk, SQL_IDX_BM25_TOPK),
@@ -1781,19 +1782,20 @@ QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMBEDDING_NEAR_DUP_LSH),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
-    "ann_ivf_cells": (q_ann_ivf_cells, SQL_ANN_IVF_CELLS),
-    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "pipeline_quality_dedup": (q_pipeline_quality_dedup, SQL_PIPELINE_QUALITY_DEDUP),
     # --- long-stable SQL-twin tail (51+: may fall outside the driver cap;
-    #     every entry here has ≥3 rounds of green official history) ---
+    #     every entry here has multiple rounds of green official history —
+    #     the six parked this round all re-earned official green in r6) ---
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "regex_search": (q_regex_search, SQL_REGEX_SEARCH),
+    "idx_facet_lang": (q_idx_facet_lang, SQL_IDX_FACET_LANG),
+    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
+    "idx_snippets": (q_idx_snippets, SQL_IDX_SNIPPETS),
+    "code_token_stats": (q_code_token_stats, SQL_CODE_TOKEN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
-    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
-    "pivot_qty": (q_pivot_qty, SQL_PIVOT_QTY),
     "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
