@@ -207,7 +207,9 @@ def main() -> None:
             })
         except (OSError, KeyError, ValueError):
             pass
-        shutil.rmtree(pos_out, ignore_errors=True)
+        # kept on disk: tools/capacity_model.py measures the positions
+        # sidecar's per-unit constants from this index (VERDICT r6 #2 —
+        # measured at bench scale, not projected from sf0.001)
 
     # ---- previous-round same-window control (VERDICT r6 #4): build the
     # prior round's code ONCE on the identical corpus in this same window,

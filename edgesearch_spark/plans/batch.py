@@ -221,7 +221,7 @@ def batch_phrase_search(engine, phrases: DataFrame,
 
     vocab = qterms.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
-    pt = engine.positions_df()
+    pt, uncov = engine.positions_plan()
     if pt is None:
         raise ValueError("index has no positional sidecar (IndexConfig.positions)")
     from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
@@ -237,6 +237,45 @@ def batch_phrase_search(engine, phrases: DataFrame,
     hits = decoded.join(qterms, "term")
     sl = hits.groupBy("query_id", "doc_id").agg(
         F.collect_list(F.struct("slot", "positions")).alias("sl"))
+    if uncov is not None:
+        # per-segment route (engine.positions_plan): segments without the
+        # sidecar serve AND-candidates off their plain postings, candidate
+        # docs fetch once (tombstone-aware), and per-slot position arrays
+        # rebuild from the kept token stream — the SAME (slot, positions)
+        # struct shape, so the adjacency chain below applies to both
+        # branches verbatim. Segment docID ranges are disjoint: no overlap.
+        from ..sources.postings import DECODED_SCHEMA, _decode_rows
+        from ..tokenizer import _tokens_col
+
+        udec = (_prune_terms(uncov, vocab, sample)
+                .select("term", "block_first_doc", "block_max_doc",
+                        "block_count", "block_offset", "block_kind", "payload")
+                .repartition(F.col("term"), F.col("block_first_doc"))
+                .mapInPandas(_decode_rows, schema=DECODED_SCHEMA))
+        qdist = qterms.groupBy("query_id").agg(
+            F.countDistinct("term").alias("nd"))
+        pairs = (udec.join(qterms.select("query_id", "term").distinct(), "term")
+                 .groupBy("query_id", "doc_id")
+                 .agg(F.countDistinct("term").alias("ndt"))
+                 .join(qdist, "query_id")
+                 .filter(F.col("ndt") == F.col("nd"))
+                 .select("query_id", "doc_id"))
+        fetched = engine.fetch_docs_df(
+            pairs.select("doc_id").distinct()).select(
+            "doc_id", _tokens_col("content").alias("__dts"))
+        slots = (pairs.join(qterms, "query_id")
+                 .join(fetched, "doc_id")
+                 .select(
+                     "query_id", "doc_id", "slot",
+                     F.filter(
+                         F.transform(
+                             F.col("__dts"),
+                             lambda x, j: F.when(x == F.col("term"), j.cast("long"))),
+                         lambda v: v.isNotNull(),
+                     ).alias("positions")))
+        usl = slots.groupBy("query_id", "doc_id").agg(
+            F.collect_list(F.struct("slot", "positions")).alias("sl"))
+        sl = sl.unionByName(usl)
     sl = sl.join(qlen, "query_id")
 
     head = F.flatten(F.transform(

@@ -475,9 +475,10 @@ class MultiSegmentEngine(SearchEngine):
         # unlike the bigram sidecar, whose hot-pair selection is df-
         # threshold-relative. This TOTAL-coverage surface stays None unless
         # EVERY segment carries one (an uncovered segment would silently
-        # drop its matches — batch_phrase_search serves off it and has no
-        # per-query fallback branch); partially-covered indexes serve the
-        # single-query proximity family through positions_plan() instead.
+        # drop its matches for any consumer that reads it raw); every
+        # serving operator — the single-query proximity family AND
+        # batch_phrase_search — routes through positions_plan(), which
+        # serves partial coverage with a per-segment fallback branch.
         # Deletes are handled by _live_filter_df at the result surface.
         if not hasattr(self, "_positions_union_df"):
             self._positions_union_df = None

@@ -228,3 +228,39 @@ def test_batch_phrase_large_vocab_semi_join_plan(spark, pos_index_dir):
     want = sorted(r["doc_id"] for r in
                   index_phrase_search_positions(eng, "import return").collect())
     assert got == want and got
+
+
+def test_batch_phrase_mixed_positions_coverage(spark, tmp_path_factory):
+    """Per-segment positional route for batch phrase: one segment built
+    WITHOUT positions is served by the AND+verify scan-side branch (same
+    (slot, positions) struct shape), the covered segment off its sidecar —
+    results identical to the scan-side truth across both segments."""
+    from edgesearch_spark.functions.textsearch import phrase_search
+    from edgesearch_spark.plans.batch import batch_phrase_search
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("batchposmix"))
+    idx = IncrementalIndexer(
+        spark, root, IndexConfig(block_size=16, salt_shift=6, positions=False),
+        order_cols=("repo", "path", "commit"))
+    corpus = generate_corpus(spark, N, seed=23)
+    idx.ingest_batch(corpus.filter(F.col("path") < "src/m2"), 0)
+    idx.cfg = IndexConfig(block_size=16, salt_shift=6, positions=True)
+    idx.ingest_batch(corpus.filter(F.col("path") >= "src/m2"), 1)
+    eng = idx.engine()
+    assert eng.positions_plan()[1] is not None  # genuinely mixed coverage
+    phrases = [("a", "import return"), ("b", "fn main"), ("z", "zz_nope xx")]
+    out = batch_phrase_search(
+        eng, spark.createDataFrame(phrases, "query_id string, phrase string"))
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    lo = 0
+    for qid, ph in phrases:
+        want = set(r["doc_id"] for r in phrase_search(eng._docs_df, ph).collect())
+        assert got.get(qid, set()) == want, (qid, ph)
+        if want:
+            lo += 1
+            # both segments contribute somewhere across the phrase set
+    assert lo >= 2

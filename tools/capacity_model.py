@@ -51,6 +51,7 @@ def measure(index_dir: str) -> dict:
     n_post = post["total_postings"]
     m = {
         "n_docs": n_docs,
+        "total_tokens": stats.get("total_tokens", 0),
         "avgdl": stats["avgdl"],
         "salt_shift": stats["salt_shift"],
         "total_postings": n_post,
@@ -118,9 +119,12 @@ def project(m: dict, target_docs: int, hot_df: int) -> list[tuple[str, str, str]
                      "hot-pair adjacency postings; volume bounded by hot-pair "
                      "co-adjacency, scales at most with postings"))
     if m.get("positions_bytes"):
+        bpp = 8 * m["positions_bytes"] / max(1, m.get("total_tokens", 1))
         rows.append(("positions sidecar", human(m["positions_bytes"] * scale),
-                     "delta-varint per token occurrence — linear in corpus "
-                     "tokens (executor-side only; never driver-resident)"))
+                     f"{bpp:.2f} bits/position on disk × {m['avgdl']:.0f} "
+                     "tokens/doc — delta-varint per token occurrence, linear "
+                     "in corpus tokens (executor-side only; never "
+                     "driver-resident)"))
     if m.get("oltrigram_bytes"):
         rows.append(("overlong-trigram sidecar (≤)", human(m["oltrigram_bytes"] * scale),
                      "trigram postings over flagged docs' dropped runs — "
