@@ -172,6 +172,75 @@ def batch_search(
     )
 
 
+def _batch_position_structs(engine, qterms: DataFrame, vocab: DataFrame,
+                            sample: list | None) -> DataFrame:
+    """(query_id, doc_id, sl: array<struct<slot int, positions array<long>>>)
+    — per-query-slot kept-token position arrays for every doc holding at
+    least one of the query's terms, the shared candidate frame of the batch
+    proximity family (exact phrase, NEAR). Two branches, identical struct
+    shape:
+
+      covered  — the positional sidecar's pruned scan (positions_plan),
+                 decoded executor-side; shard-split lists may yield several
+                 structs per slot (callers' conditions probe every struct
+                 of a slot);
+      fallback — segments without the sidecar (per-segment route): AND-
+                 candidates off their plain postings, candidate docs fetch
+                 once (tombstone-aware), per-slot positions rebuilt from
+                 the kept token stream. Segment docID ranges are disjoint,
+                 so the union has no overlap."""
+    pt, uncov = engine.positions_plan()
+    if pt is None:
+        raise ValueError("index has no positional sidecar (IndexConfig.positions)")
+    from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
+
+    pruned = (_prune_terms(pt, vocab, sample)
+              .select("term", "salt", "df", "payload")
+              # spread hot terms' salt shards across decode tasks (the
+              # range-sorted layout packs a term's shards into one scan
+              # task otherwise — see SearchEngine._decoded_for)
+              .repartition(F.col("term"), F.col("salt")).drop("salt"))
+    decoded = pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
+
+    hits = decoded.join(qterms, "term")
+    sl = hits.groupBy("query_id", "doc_id").agg(
+        F.collect_list(F.struct("slot", "positions")).alias("sl"))
+    if uncov is not None:
+        from ..sources.postings import DECODED_SCHEMA, _decode_rows
+        from ..tokenizer import _tokens_col
+
+        udec = (_prune_terms(uncov, vocab, sample)
+                .select("term", "block_first_doc", "block_max_doc",
+                        "block_count", "block_offset", "block_kind", "payload")
+                .repartition(F.col("term"), F.col("block_first_doc"))
+                .mapInPandas(_decode_rows, schema=DECODED_SCHEMA))
+        qdist = qterms.groupBy("query_id").agg(
+            F.countDistinct("term").alias("nd"))
+        pairs = (udec.join(qterms.select("query_id", "term").distinct(), "term")
+                 .groupBy("query_id", "doc_id")
+                 .agg(F.countDistinct("term").alias("ndt"))
+                 .join(qdist, "query_id")
+                 .filter(F.col("ndt") == F.col("nd"))
+                 .select("query_id", "doc_id"))
+        fetched = engine.fetch_docs_df(
+            pairs.select("doc_id").distinct()).select(
+            "doc_id", _tokens_col("content").alias("__dts"))
+        slots = (pairs.join(qterms, "query_id")
+                 .join(fetched, "doc_id")
+                 .select(
+                     "query_id", "doc_id", "slot",
+                     F.filter(
+                         F.transform(
+                             F.col("__dts"),
+                             lambda x, j: F.when(x == F.col("term"), j.cast("long"))),
+                         lambda v: v.isNotNull(),
+                     ).alias("positions")))
+        usl = slots.groupBy("query_id", "doc_id").agg(
+            F.collect_list(F.struct("slot", "positions")).alias("sl"))
+        sl = sl.unionByName(usl)
+    return sl
+
+
 def batch_phrase_search(engine, phrases: DataFrame,
                         phrase_col: str = "phrase") -> DataFrame:
     """A whole TABLE of exact-phrase queries against the positional sidecar
@@ -208,7 +277,6 @@ def batch_phrase_search(engine, phrases: DataFrame,
     """
     from ..tokenizer import MAX_TERM_BYTES, TOKEN_SPLIT_RE
 
-    spark = engine.spark
     # split WITHOUT the overlong filter, then refuse phrases holding one —
     # identical tokenization outcome to the single-phrase surface
     raw = F.filter(F.split(F.lower(F.col(phrase_col)), TOKEN_SPLIT_RE),
@@ -221,61 +289,7 @@ def batch_phrase_search(engine, phrases: DataFrame,
 
     vocab = qterms.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
-    pt, uncov = engine.positions_plan()
-    if pt is None:
-        raise ValueError("index has no positional sidecar (IndexConfig.positions)")
-    from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
-
-    pruned = (_prune_terms(pt, vocab, sample)
-              .select("term", "salt", "df", "payload")
-              # spread hot terms' salt shards across decode tasks (the
-              # range-sorted layout packs a term's shards into one scan
-              # task otherwise — see SearchEngine._decoded_for)
-              .repartition(F.col("term"), F.col("salt")).drop("salt"))
-    decoded = pruned.mapInPandas(_decode_pos_rows, schema=POS_DECODED_SCHEMA)
-
-    hits = decoded.join(qterms, "term")
-    sl = hits.groupBy("query_id", "doc_id").agg(
-        F.collect_list(F.struct("slot", "positions")).alias("sl"))
-    if uncov is not None:
-        # per-segment route (engine.positions_plan): segments without the
-        # sidecar serve AND-candidates off their plain postings, candidate
-        # docs fetch once (tombstone-aware), and per-slot position arrays
-        # rebuild from the kept token stream — the SAME (slot, positions)
-        # struct shape, so the adjacency chain below applies to both
-        # branches verbatim. Segment docID ranges are disjoint: no overlap.
-        from ..sources.postings import DECODED_SCHEMA, _decode_rows
-        from ..tokenizer import _tokens_col
-
-        udec = (_prune_terms(uncov, vocab, sample)
-                .select("term", "block_first_doc", "block_max_doc",
-                        "block_count", "block_offset", "block_kind", "payload")
-                .repartition(F.col("term"), F.col("block_first_doc"))
-                .mapInPandas(_decode_rows, schema=DECODED_SCHEMA))
-        qdist = qterms.groupBy("query_id").agg(
-            F.countDistinct("term").alias("nd"))
-        pairs = (udec.join(qterms.select("query_id", "term").distinct(), "term")
-                 .groupBy("query_id", "doc_id")
-                 .agg(F.countDistinct("term").alias("ndt"))
-                 .join(qdist, "query_id")
-                 .filter(F.col("ndt") == F.col("nd"))
-                 .select("query_id", "doc_id"))
-        fetched = engine.fetch_docs_df(
-            pairs.select("doc_id").distinct()).select(
-            "doc_id", _tokens_col("content").alias("__dts"))
-        slots = (pairs.join(qterms, "query_id")
-                 .join(fetched, "doc_id")
-                 .select(
-                     "query_id", "doc_id", "slot",
-                     F.filter(
-                         F.transform(
-                             F.col("__dts"),
-                             lambda x, j: F.when(x == F.col("term"), j.cast("long"))),
-                         lambda v: v.isNotNull(),
-                     ).alias("positions")))
-        usl = slots.groupBy("query_id", "doc_id").agg(
-            F.collect_list(F.struct("slot", "positions")).alias("sl"))
-        sl = sl.unionByName(usl)
+    sl = _batch_position_structs(engine, qterms, vocab, sample)
     sl = sl.join(qlen, "query_id")
 
     head = F.flatten(F.transform(
@@ -288,5 +302,60 @@ def batch_phrase_search(engine, phrases: DataFrame,
             lambda s: (s["slot"] == i.cast("int"))
             & F.array_contains(s["positions"], p + i))))
     cond = F.when(F.col("n") == 1, F.size(head) > 0).otherwise(chain)
+    return engine._live_filter_df(
+        sl.filter(cond).select("query_id", "doc_id"))
+
+
+def batch_near_search(engine, queries: DataFrame, terms_col: str = "terms",
+                      slop_col: str = "slop") -> DataFrame:
+    """A whole TABLE of unordered NEAR/slop queries against the positional
+    sidecar as ONE DataFrame plan — the batch twin of
+    `functions.textsearch.index_near_search`, completing the batch
+    proximity family (exact phrase + NEAR).
+
+    queries: (query_id string, terms array<string>, slop int) — any size;
+    the plan never collects it (the only driver materialization is the
+    ≤ ISIN_MAX_TERMS+1 vocabulary probe). Returns (query_id, doc_id), one
+    row per query per live doc where one occurrence of EVERY distinct term
+    fits in a window of ``slop`` kept-token positions (max pick − min pick
+    ≤ slop — identical semantics to index_near_search, which raises on the
+    shapes this surface silently skips: fewer than two distinct terms or a
+    negative slop produce no rows, the right behavior mid-table).
+
+    Plan shape: the shared _batch_position_structs candidate frame (pruned
+    sidecar scan + per-segment scan-side fallback), then the window test as
+    a JVM higher-order condition anchored on the minimum pick: some struct
+    holds an anchor position p such that every distinct-term slot has a
+    position in [p, p+slop] (the anchor's own slot is satisfied by p
+    itself). Shard-split position lists may span several structs per slot;
+    the per-slot exists probes every struct."""
+    toks = queries.select(
+        "query_id",
+        F.array_distinct(F.transform(F.col(terms_col), F.lower)).alias("__ts"),
+        F.col(slop_col).cast("long").alias("__slop"),
+    ).filter((F.size("__ts") >= 2) & (F.col("__slop") >= 0))
+    qterms = toks.select("query_id", F.posexplode("__ts").alias("slot", "term"))
+    qmeta = toks.select("query_id", F.size("__ts").alias("n"), "__slop")
+
+    vocab = qterms.select("term").distinct()
+    sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
+    sl = _batch_position_structs(engine, qterms, vocab, sample)
+    sl = sl.join(qmeta, "query_id")
+
+    cond = F.exists(
+        F.col("sl"),
+        lambda s0: F.exists(
+            s0["positions"],
+            lambda p: F.forall(
+                F.sequence(F.lit(0), F.col("n") - 1),
+                lambda i: F.exists(
+                    F.col("sl"),
+                    lambda s: (s["slot"] == i.cast("int"))
+                    & F.exists(s["positions"],
+                               lambda q: (q >= p) & (q <= p + F.col("__slop"))),
+                ),
+            ),
+        ),
+    )
     return engine._live_filter_df(
         sl.filter(cond).select("query_id", "doc_id"))

@@ -1307,6 +1307,45 @@ def q_batch_phrase_table(spark, sf_dir):
     return batch_phrase_search(eng, phrases)
 
 
+BATCH_NEAR = [("n1", ["stream", "column"], 2), ("n2", ["merge", "vector"], 5),
+              ("n3", ["order", "key", "value"], 6)]
+
+
+def q_batch_near_table(spark, sf_dir):
+    """A TABLE of unordered NEAR/slop queries against the positional
+    sidecar in ONE plan (plans/batch.batch_near_search) — the batch twin of
+    idx_near_slop, completing the batch proximity family: the shared
+    position-struct candidate frame (pruned sidecar scan, semi-join
+    vocabulary prune), then the min-pick-anchored window test per query as
+    a JVM higher-order condition."""
+    from ..plans.batch import batch_near_search
+
+    eng = _engine_for(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        BATCH_NEAR, "query_id string, terms array<string>, slop int")
+    return batch_near_search(eng, qdf)
+
+
+def _near_cte(qid: str, terms: list[str], slop: int) -> str:
+    # anchor p over every token index: a window [p, p+slop] holding all
+    # terms exists iff one anchored at the min pick does (see
+    # batch_near_search) — ts[i] past len(ts) is NULL, never equal
+    per_term = " AND ".join(
+        f"len(list_filter(range(p, p + {slop + 1}), i -> ts[i] = '{t}')) > 0"
+        for t in terms)
+    return (f"SELECT '{qid}' AS query_id, doc_id FROM toks "
+            f"WHERE len(list_filter(range(1, len(ts) + 1), p -> {per_term})) > 0")
+
+
+SQL_BATCH_NEAR_TABLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{TOKEN_RE_SQL}'), t -> t <> '') AS ts
+  FROM documents
+)
+{" UNION ALL ".join(_near_cte(q, t, s) for q, t, s in BATCH_NEAR)}
+"""
+
+
 def _phrase_cte(qid: str, ph: str) -> str:
     ts = ph.split()
     conds = " AND ".join(f"ts[i+{k}] = '{t}'" for k, t in enumerate(ts))
@@ -1724,9 +1763,11 @@ LIMIT 20
 # since r6; the first four were official-green in r5) and parks the six
 # entries that just re-earned official green in r6 (phrase_match,
 # regex_search, idx_facet_lang, term_suggest, idx_snippets,
-# code_token_stats) in their place.
+# code_token_stats) in their place; the new batch_near_table leads, letting
+# ann_lsh_buckets (official-green r5+r6) age past the cap.
 QUERIES = {
     # --- newest index-engine surfaces (r5/r6) ---
+    "batch_near_table": (q_batch_near_table, SQL_BATCH_NEAR_TABLE),
     "idx_prefix_search": (q_idx_prefix_search, SQL_IDX_PREFIX_SEARCH),
     "idx_wildcard_search": (q_idx_wildcard_search, SQL_IDX_WILDCARD_SEARCH),
     "idx_phrase_slop": (q_idx_phrase_slop, SQL_IDX_PHRASE_SLOP),

@@ -264,3 +264,54 @@ def test_batch_phrase_mixed_positions_coverage(spark, tmp_path_factory):
             lo += 1
             # both segments contribute somewhere across the phrase set
     assert lo >= 2
+
+
+def test_batch_near_matches_single_surface(spark, pos_index_dir):
+    """batch_near_search ≡ index_near_search per query row; degenerate rows
+    (single-term, negative slop) produce no rows instead of raising
+    (the right mid-table behavior)."""
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import index_near_search
+    from edgesearch_spark.plans.batch import batch_near_search
+
+    eng = SearchEngine(spark, pos_index_dir)
+    specs = [("a", ["import", "return"], 3), ("b", ["fn", "let"], 6),
+             ("c", ["import", "IMPORT"], 2),   # dedupes to one term -> no rows
+             ("d", ["fn", "let"], -1),          # negative slop -> no rows
+             ("e", ["zz_nope", "import"], 9)]   # absent term -> no rows
+    out = batch_near_search(eng, spark.createDataFrame(
+        specs, "query_id string, terms array<string>, slop int"))
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, terms, slop in specs[:2]:
+        want = set(r["doc_id"] for r in index_near_search(eng, terms, slop).collect())
+        assert got.get(qid, set()) == want and want, qid
+    assert not (set(got) & {"c", "d", "e"})
+
+
+def test_batch_near_mixed_positions_coverage(spark, tmp_path_factory):
+    """batch NEAR over a mixed-coverage index (per-segment route): results
+    equal the scan-side twin across both segments."""
+    from edgesearch_spark.functions.textsearch import near_search
+    from edgesearch_spark.plans.batch import batch_near_search
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("batchnearmix"))
+    idx = IncrementalIndexer(
+        spark, root, IndexConfig(block_size=16, salt_shift=6, positions=False),
+        order_cols=("repo", "path", "commit"))
+    corpus = generate_corpus(spark, N, seed=29)
+    idx.ingest_batch(corpus.filter(F.col("path") < "src/m2"), 0)
+    idx.cfg = IndexConfig(block_size=16, salt_shift=6, positions=True)
+    idx.ingest_batch(corpus.filter(F.col("path") >= "src/m2"), 1)
+    eng = idx.engine()
+    assert eng.positions_plan()[1] is not None
+    out = batch_near_search(eng, spark.createDataFrame(
+        [("a", ["import", "return"], 4)],
+        "query_id string, terms array<string>, slop int"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    want = sorted(r["doc_id"] for r in
+                  near_search(eng._docs_df, ["import", "return"], 4).collect())
+    assert got == want and got
