@@ -317,3 +317,32 @@ def test_decode_spread_gated_on_hotness(spark, index_dir):
     eng.decode_spread_min_postings = 0
     want = sorted(r["doc_id"] for r in eng._decoded_for(["rare"]).collect())
     assert got == want and len(got) == 20
+
+
+def test_bm25_distributed_no_rescore_jobs(spark, engines):
+    """VERDICT r6 #5: cluster-side scores are now bit-identical to the
+    kernel, so the distributed BM25 route is exactly ONE fused action per
+    query — the old driver-rescore stage (lazy candidate-shard fetches,
+    margin checks, widen retries) must schedule ZERO extra jobs. Budget: a
+    warm routed query fits in the fused pass's own job count (AQE may
+    split the one action into per-stage jobs; the rescore used to add its
+    own fetch jobs on top)."""
+    eager, _, routed = engines
+    q = Query.make(require=["hot", "third"], k=10)
+    a = eager.search_bm25(q)
+    routed.fetch_terms(["hot", "third"])  # dict + postings warm, untimed
+
+    before = _n_jobs(spark)
+    b = routed.search_bm25(q)
+    whole_query = _n_jobs(spark) - before
+    assert routed.last_route == "distributed"
+    _same(a, b)
+
+    tp = routed.fetch_terms(["hot", "third"])
+    matched = routed._matched_docs_df(q, tp, scored=True)
+    before = _n_jobs(spark)
+    routed._fused_topk_count(matched, 10, by_score=True)
+    fused_alone = _n_jobs(spark) - before
+    # +1 slack: one metadata-scale job (doclens/term routing) may ride the
+    # full query; the removed rescore stage used to add ≥2 shard-fetch jobs
+    assert whole_query <= fused_alone + 1, (whole_query, fused_alone)
