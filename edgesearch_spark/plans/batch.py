@@ -72,19 +72,34 @@ def _prune_terms(table: DataFrame, vocab: DataFrame,
     return table.join(F.broadcast(vocab.select("term")), "term", "left_semi")
 
 
-def _mode_terms(queries: DataFrame) -> DataFrame:
-    """(query_id, term, mode) — one row per (query, term, mode)."""
-    parts = []
-    for mode, col in (("r", "require"), ("c", "contain"), ("e", "exclude")):
-        parts.append(
-            queries.select("query_id", F.explode_outer(F.array_distinct(col)).alias("term"))
-            .filter(F.col("term").isNotNull())
-            .withColumn("mode", F.lit(mode))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term, is_r, is_c, is_e) — ONE row per distinct
+    (query, term), the term's clause roles as flags.
+
+    One explode over the concatenated distinct clause arrays; the roles
+    come from array_contains on the originals. Replaces a 3-way
+    explode+union plus a (query_id, term) self-join (the old
+    require-duplicate flag): that tree re-executed the explode subplan
+    twice INSIDE itself and the whole thing appeared under both the hits
+    and the clause branches — four executions per action (measured: over
+    half the wall time of a 1000-query batch). Null clause arrays coalesce
+    to empty so a query with only some clauses set keeps its rows."""
+    def arr(c: str):
+        return F.coalesce(F.array_distinct(F.col(c)),
+                          F.array().cast("array<string>"))
+
+    base = queries.select(
+        "query_id", arr("require").alias("__r"), arr("contain").alias("__c"),
+        arr("exclude").alias("__e"),
+        F.explode(F.array_distinct(
+            F.concat(arr("require"), arr("contain"), arr("exclude")))).alias("term"),
+    )
+    return base.select(
+        "query_id", "term",
+        F.array_contains("__r", F.col("term")).alias("is_r"),
+        F.array_contains("__c", F.col("term")).alias("is_c"),
+        F.array_contains("__e", F.col("term")).alias("is_e"),
+    )
 
 
 def batch_search(
@@ -107,42 +122,41 @@ def batch_search(
     n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
     k1, b = stats["k1"], stats["b"]
 
-    qt = _mode_terms(queries)
+    qt = _query_terms(queries)
     vocab = qt.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
 
     ts = _prune_terms(term_stats_table(spark, index_dir), vocab, sample)
     # drop missing contain terms (reference rule) while keeping missing
-    # require terms "required" (they make the query unsatisfiable)
+    # require terms "required" (they make the query unsatisfiable): a
+    # missing term's contain ROLE clears; its require/exclude roles stay
     qt = qt.join(ts.select("term", "df"), "term", "left")
-    qt = qt.filter(~((F.col("mode") == "c") & F.col("df").isNull()))
-    # a term in BOTH require and contain of one query must score once, like
-    # SearchEngine/oracle (dict.fromkeys(require+contain)): flag the r-dup
-    # so the c row keeps its boolean role but contributes no score
-    r_terms = qt.filter(F.col("mode") == "r").select("query_id", "term").withColumn("__has_r", F.lit(1))
-    qt = qt.join(r_terms, ["query_id", "term"], "left")
+    qt = qt.withColumn("is_c", F.col("is_c") & F.col("df").isNotNull())
 
-    # per-query clause cardinalities (computed after dropping missing contains)
+    # per-query clause cardinalities (contain counts existing terms only)
     clause = qt.groupBy("query_id").agg(
-        F.sum(F.when(F.col("mode") == "r", 1).otherwise(0)).alias("n_req"),
-        F.sum(F.when(F.col("mode") == "c", 1).otherwise(0)).alias("n_con"),
-        F.sum(F.when((F.col("mode") == "e") & F.col("df").isNotNull(), 1).otherwise(0)).alias("n_exc"),
+        F.sum(F.col("is_r").cast("int")).alias("n_req"),
+        F.sum(F.col("is_c").cast("int")).alias("n_con"),
+        F.sum((F.col("is_e") & F.col("df").isNotNull()).cast("int")).alias("n_exc"),
     )
 
     posts = decoded_postings(spark, index_dir, terms=sample, vocab=None if sample is not None else vocab)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    hits = posts.join(qt.select("query_id", "term", "mode", "df", "__has_r"), "term")
+    hits = posts.join(qt.select("query_id", "term", "is_r", "is_c", "is_e", "df"), "term")
 
     dl = doclens_table(spark, index_dir)
     hits = hits.join(dl, "doc_id")
     w = F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
-    scores_once = (F.col("mode") == "r") | ((F.col("mode") == "c") & F.col("__has_r").isNull())
-    hits = hits.withColumn("partial", F.when(scores_once, idf * w).otherwise(F.lit(0.0)))
+    # a term in BOTH require and contain of one query scores ONCE, like
+    # SearchEngine/oracle (dict.fromkeys(require+contain)) — automatic with
+    # one row per (query, term)
+    hits = hits.withColumn(
+        "partial", F.when(F.col("is_r") | F.col("is_c"), idf * w).otherwise(F.lit(0.0)))
 
     per_doc = hits.groupBy("query_id", "doc_id").agg(
-        F.countDistinct(F.when(F.col("mode") == "r", F.col("term"))).alias("req_hit"),
-        F.max((F.col("mode") == "c").cast("int")).alias("con_hit"),
-        F.max((F.col("mode") == "e").cast("int")).alias("exc_hit"),
+        F.countDistinct(F.when(F.col("is_r"), F.col("term"))).alias("req_hit"),
+        F.max(F.col("is_c").cast("int")).alias("con_hit"),
+        F.max(F.col("is_e").cast("int")).alias("exc_hit"),
         F.sum("partial").alias("score"),
     )
 
