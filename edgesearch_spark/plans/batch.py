@@ -104,12 +104,20 @@ def _query_terms(queries: DataFrame) -> DataFrame:
 
 def batch_search(
     spark: SparkSession,
-    index_dir: str,
+    index_dir,
     queries: DataFrame,
     k: int = 50,
     scored: bool = True,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score): top-k per query.
+
+    ``index_dir`` is a built index path OR a SearchEngine /
+    MultiSegmentEngine — the engine form serves a LIVE segmented index:
+    per-term df sums across segment rows (union idf, exactly the engine's
+    exhaustive scoring statistics), doclens union under the global avgdl,
+    and tombstoned docs anti-join out BEFORE ranks are assigned, so a
+    deleted doc never consumes a rank (Lucene live-docs, same as every
+    single-query surface).
 
     Plan shape: the postings scan is pruned to the union of query terms
     (pushed In-list when small, broadcast semi-join past ISIN_MAX_TERMS —
@@ -118,7 +126,17 @@ def batch_search(
     query-scaled frames (per-query terms, clause cardinalities) carry NO
     broadcast hint — AQE picks broadcast when they are small and falls back
     to shuffle joins when the query table itself is cluster-sized."""
-    stats = load_stats(index_dir)
+    from ..sources.postings import DECODED_SCHEMA, _decode_rows
+
+    eng = None if isinstance(index_dir, str) else index_dir
+    if eng is not None:
+        stats = eng.stats
+        ts_raw, posts_raw, dl = eng._term_stats_df, eng._postings_df, eng._doclens_df()
+    else:
+        stats = load_stats(index_dir)
+        ts_raw = term_stats_table(spark, index_dir)
+        posts_raw = None
+        dl = doclens_table(spark, index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
     k1, b = stats["k1"], stats["b"]
 
@@ -126,11 +144,15 @@ def batch_search(
     vocab = qt.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
 
-    ts = _prune_terms(term_stats_table(spark, index_dir), vocab, sample)
+    ts = _prune_terms(ts_raw, vocab, sample).select("term", "df")
+    if eng is not None:
+        # multi-segment unions carry one term_stats row PER SEGMENT; the
+        # query-side df is their sum (identical to engine.fetch_terms)
+        ts = ts.groupBy("term").agg(F.sum("df").alias("df"))
     # drop missing contain terms (reference rule) while keeping missing
     # require terms "required" (they make the query unsatisfiable): a
     # missing term's contain ROLE clears; its require/exclude roles stay
-    qt = qt.join(ts.select("term", "df"), "term", "left")
+    qt = qt.join(ts, "term", "left")
     qt = qt.withColumn("is_c", F.col("is_c") & F.col("df").isNotNull())
 
     # per-query clause cardinalities (contain counts existing terms only)
@@ -140,11 +162,17 @@ def batch_search(
         F.sum((F.col("is_e") & F.col("df").isNotNull()).cast("int")).alias("n_exc"),
     )
 
-    posts = decoded_postings(spark, index_dir, terms=sample, vocab=None if sample is not None else vocab)
+    if eng is not None:
+        posts = (_prune_terms(posts_raw, vocab, sample)
+                 .select("term", "block_first_doc", "block_max_doc",
+                         "block_count", "block_offset", "block_kind", "payload")
+                 .mapInPandas(_decode_rows, schema=DECODED_SCHEMA))
+    else:
+        posts = decoded_postings(spark, index_dir, terms=sample,
+                                 vocab=None if sample is not None else vocab)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     hits = posts.join(qt.select("query_id", "term", "is_r", "is_c", "is_e", "df"), "term")
 
-    dl = doclens_table(spark, index_dir)
     hits = hits.join(dl, "doc_id")
     w = F.col("tf") * (k1 + 1) / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
     # a term in BOTH require and contain of one query scores ONCE, like
@@ -176,6 +204,9 @@ def batch_search(
             )
         )
     )
+    if eng is not None:
+        # live-docs BEFORE ranking: a tombstoned doc must not consume a rank
+        matched = eng._live_filter_df(matched)
 
     order = (F.col("score").desc(), F.col("doc_id").asc()) if scored else (F.col("doc_id").asc(),)
     win = Window.partitionBy("query_id").orderBy(*order)

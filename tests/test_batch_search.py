@@ -315,3 +315,46 @@ def test_batch_near_mixed_positions_coverage(spark, tmp_path_factory):
     want = sorted(r["doc_id"] for r in
                   near_search(eng._docs_df, ["import", "return"], 4).collect())
     assert got == want and got
+
+
+def test_batch_search_live_engine_with_deletes(spark, tmp_path_factory):
+    """batch_search over a SearchEngine / MultiSegmentEngine: union idf
+    (per-term df summed across segment rows), global avgdl, and tombstoned
+    docs excluded BEFORE ranks — per-query parity with the engine's own
+    exhaustive BM25 on a live 2-segment index with deletes."""
+    from edgesearch_spark.oracle import Query
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("batchlive"))
+    idx = IncrementalIndexer(
+        spark, root, IndexConfig(block_size=16, salt_shift=6),
+        order_cols=("repo", "path", "commit"))
+    corpus = generate_corpus(spark, N, seed=31)
+    idx.ingest_batch(corpus.filter(F.col("path") < "src/m2"), 0)
+    idx.ingest_batch(corpus.filter(F.col("path") >= "src/m2"), 1)
+    idx.delete_docs([1, 5, 17])
+    eng = idx.engine()
+
+    specs = [("a", ["import", "return"], [], []),
+             ("b", ["let"], ["fn", "mut"], ["struct"]),
+             ("x", [], [], ["import"])]  # exclude-only quirk
+    qdf = spark.createDataFrame(
+        specs, "query_id string, require array<string>, contain array<string>, exclude array<string>")
+    out = batch_search(spark, eng, qdf, k=10_000, scored=True)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = (r["rank"], r["score"])
+    assert not ({1, 5, 17} & {d for per in got.values() for d in per})
+    for qid, req, con, exc in specs:
+        q = Query.make(require=req, contain=con, exclude=exc, k=10_000)
+        want = eng.search_bm25(q)
+        per = got.get(qid, {})
+        assert set(per) == set(want.doc_ids), qid
+        for d, s in zip(want.doc_ids, want.scores):
+            assert abs(per[d][1] - round(s, 6)) <= 1e-6, (qid, d)
+        # ranks follow (score desc, doc_id asc) like the engine page
+        ranked = sorted(per.items(), key=lambda kv: kv[1][0])
+        assert [d for d, _ in ranked][:20] == list(want.doc_ids)[:20] or \
+            sorted(per[d][1] for d, _ in ranked[:20]) == sorted(
+                round(s, 6) for s in want.scores[:20]), qid
