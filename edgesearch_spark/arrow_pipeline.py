@@ -358,6 +358,257 @@ def tokenize_pack_arrow(
     return df.select(doc_id_col, content_col).mapInArrow(run, schema=PACK_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# 'pack' positions path: the same binary-blob shuffle for the positional
+# sidecar (round-8 optimization; VERDICT r7 #1)
+# ---------------------------------------------------------------------------
+# The positions stage shipped ~60M (term, doc_id, pos) rows through the
+# JVM→Python Arrow crossing — the exact per-row conversion floor the
+# postings stage removed two rounds ago (measured: positions stage 104-148 s
+# vs postings 13-30 s on the same corpus). This path reuses the pack
+# discipline: the tokenizer emits each (bucket = mix(crc32(term), salt))
+# group of a batch as ONE binary blob, the shuffle moves (bucket, blob)
+# rows, and the encoder parses with np.frombuffer, builds a global term
+# dictionary in C++, lexsorts (term, doc, pos) in numpy and emits the SAME
+# per-(term, salt) position payloads byte-for-byte
+# (tests/test_positions.py::test_positions_pack_impl_byte_identical).
+#
+# Blob layout (little-endian):
+#   int64 n, k, dict_bytes_len
+#   docs int64[n] | pos int32[n] | codes int32[n]
+#   dict_offsets int32[k+1] | dict utf8 bytes
+
+
+def _tokenize_positions_batch(batch: pa.RecordBatch, doc_id_col: str,
+                              content_col: str, wmap: dict, prefix: str):
+    """One batch of (doc_id, content) → (doc_rep, pos, codes, uniques): one
+    row per KEPT token occurrence in stream order, ``pos`` its 0-based index
+    into the doc's drop-filtered token stream — exactly the
+    tokenizer.norm_tokens_col stream the posexplode path indexes. Returns
+    None for an all-empty batch.
+
+    Same ASCII C++ fast path / Python fallback split as _tokenize_batch;
+    the fallback applies the BYTE-length cap (octet_length — the JVM
+    norm_tokens_col rule) because a dropped token shifts every later
+    position, so the drop rule must match the JVM stream exactly."""
+    import pandas as pd
+
+    doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+    carr = batch.column(batch.schema.get_field_index(content_col))
+    ascii_np = np.asarray(
+        pc.and_kleene(pc.equal(pc.binary_length(carr), pc.utf8_length(carr)),
+                      pc.is_valid(carr)).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+
+    # ---- C++ fast path over the ASCII rows ----
+    if ascii_np.all():
+        sel, docs_sel = carr, doc_ids
+    else:
+        sel = carr.take(pa.array(np.flatnonzero(ascii_np)))
+        docs_sel = doc_ids[ascii_np]
+    if len(sel):
+        toks = pc.split_pattern_regex(pc.utf8_lower(sel), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.less_equal(pc.binary_length(flat), MAX_TERM_BYTES))
+        keep_np = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=bool)
+        denc = pc.dictionary_encode(flat.filter(keep))
+        a_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        a_uniques = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        kept_parent = parent[keep_np]
+        # pos = index among the doc's kept tokens (stream order preserved)
+        heads = np.flatnonzero(np.concatenate(
+            [[True], kept_parent[1:] != kept_parent[:-1]]))
+        seg_len = np.diff(np.append(heads, kept_parent.size))
+        a_pos = np.arange(kept_parent.size, dtype=np.int64) - np.repeat(heads, seg_len)
+        a_docrep = docs_sel[kept_parent]
+    else:
+        a_codes = np.empty(0, np.int64)
+        a_uniques = np.empty(0, object)
+        a_docrep = np.empty(0, np.int64)
+        a_pos = np.empty(0, np.int64)
+
+    # ---- exact Python fallback for non-ASCII / null rows ----
+    if ascii_np.all():
+        p_flat, p_docrep, p_pos = np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.int64)
+    else:
+        py_contents = carr.take(pa.array(np.flatnonzero(~ascii_np))).to_pylist()
+        py_docs = doc_ids[~ascii_np]
+        tok_lists = [
+            [t for t in _TOKEN_PAT.findall(c.lower())
+             if len(t.encode("utf-8")) <= MAX_TERM_BYTES] if c else []
+            for c in py_contents
+        ]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+        p_docrep = np.repeat(py_docs, lens)
+        p_pos = (np.arange(int(lens.sum()), dtype=np.int64)
+                 - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64), lens))
+        p_flat = (np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+                  if int(lens.sum()) else np.empty(0, object))
+
+    if a_codes.size == 0 and p_flat.size == 0:
+        return None
+    if p_flat.size:
+        all_terms = np.concatenate([a_uniques[a_codes], p_flat]) if a_codes.size else p_flat
+        doc_rep = np.concatenate([a_docrep, p_docrep])
+        pos = np.concatenate([a_pos, p_pos])
+        codes, uniques = pd.factorize(all_terms, sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes, uniques, doc_rep, pos = a_codes, a_uniques, a_docrep, a_pos
+    if wmap or prefix:
+        # position-preserving per-token rewrite (norm_tokens_col semantics):
+        # remap at the UNIQUE level, re-factorize, positions untouched
+        s = pd.Series(np.asarray(uniques, dtype=object))
+        if wmap:
+            s = s.map(lambda t: wmap.get(t, t))
+        if prefix:
+            s = prefix + s
+        recodes, uniques = pd.factorize(s, sort=False)
+        uniques = np.asarray(uniques, dtype=object)
+        codes = recodes[codes]
+    return doc_rep, pos, codes, uniques
+
+
+def tokenize_pos_pack_arrow(
+    df: DataFrame,
+    doc_id_col: str,
+    content_col: str,
+    *,
+    n_buckets: int,
+    salt_shift: int,
+    word_map: dict[str, str] | None = None,
+    field_prefix: str | None = None,
+) -> DataFrame:
+    """(doc_id, content) → (bucket, blob): tokenize WITH positions + pack.
+
+    Bucket = mix(crc32(term), salt) % n_buckets — identical mixing to the
+    postings pack path, so every (term, salt) shard lands in one bucket
+    (encoder correctness) while a hot term's salts spread (skew capped at
+    one shard's positions)."""
+    wmap = dict(word_map or {})
+    prefix = f"{field_prefix}_" if field_prefix else ""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        for batch in batches:
+            got = _tokenize_positions_batch(batch, doc_id_col, content_col, wmap, prefix)
+            if got is None:
+                continue
+            doc_rep, pos, codes, uniques = got
+            if pos.size and int(pos.max()) >= 2**31:
+                raise ValueError("position exceeds int32 — pos pack blob layout assumes pos < 2^31")
+            enc = [u.encode("utf-8") for u in uniques]
+            uh = np.fromiter((zlib.crc32(e) for e in enc), np.uint64, count=len(enc))
+            salts = (doc_rep >> salt_shift).astype(np.uint64)
+            bucket = ((uh[codes] * _GOLD) + salts) % np.uint64(n_buckets)
+            order = np.argsort(bucket, kind="stable")
+            b_sorted = bucket[order]
+            heads = np.flatnonzero(np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]]))
+            bounds = np.concatenate([heads, [b_sorted.size]])
+            docs_s, pos_s, code_s = doc_rep[order], pos[order], codes[order]
+            out_buckets: list[int] = []
+            out_blobs: list[bytes] = []
+            for i in range(heads.size):
+                sl = slice(int(bounds[i]), int(bounds[i + 1]))
+                lu, lcodes = np.unique(code_s[sl], return_inverse=True)
+                dict_bts = [enc[int(c)] for c in lu]
+                offs = np.zeros(len(dict_bts) + 1, np.int32)
+                np.cumsum([len(x) for x in dict_bts], out=offs[1:])
+                dbytes = b"".join(dict_bts)
+                header = np.array([sl.stop - sl.start, len(dict_bts), len(dbytes)], np.int64)
+                out_blobs.append(b"".join([
+                    header.tobytes(),
+                    np.ascontiguousarray(docs_s[sl], np.int64).tobytes(),
+                    np.ascontiguousarray(pos_s[sl], np.int32).tobytes(),
+                    lcodes.astype(np.int32).tobytes(),
+                    offs.tobytes(),
+                    dbytes,
+                ]))
+                out_buckets.append(int(b_sorted[int(bounds[i])]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.array(out_buckets, np.int32)), pa.array(out_blobs, type=pa.binary())],
+                names=["bucket", "blob"],
+            )
+
+    return df.select(doc_id_col, content_col).mapInArrow(run, schema=PACK_SCHEMA)
+
+
+POSITIONS_ARROW_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int64()),
+        ("df", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+def make_pos_pack_encoder(salt_shift: int = 16, groups_per_batch: int = 65536):
+    """mapInArrow over the bucket-partitioned position blobs: parse
+    (np.frombuffer, zero-copy), ONE global term dictionary via C++
+    dictionary_encode, lexsort (term code, doc_id, pos), split groups on
+    (code, salt) change, encode each group's positional payload with the
+    standard codec (encode_positions_groups) — byte-identical output to the
+    posexplode/mapInPandas path."""
+    from .codec import encode_positions_groups
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        docs_l: list[np.ndarray] = []
+        pos_l: list[np.ndarray] = []
+        codes_l: list[np.ndarray] = []
+        dict_chunks: list[pa.Array] = []
+        ks: list[int] = []
+        for batch in batches:
+            for bl in batch.column(batch.schema.get_field_index("blob")).to_pylist():
+                n, k, dblen = (int(x) for x in np.frombuffer(bl, np.int64, 3))
+                off = 24
+                docs_l.append(np.frombuffer(bl, np.int64, n, off)); off += 8 * n
+                pos_l.append(np.frombuffer(bl, np.int32, n, off)); off += 4 * n
+                codes_l.append(np.frombuffer(bl, np.int32, n, off)); off += 4 * n
+                offs = np.frombuffer(bl, np.int32, k + 1, off); off += 4 * (k + 1)
+                dbytes = np.frombuffer(bl, np.uint8, dblen, off)
+                dict_chunks.append(pa.StringArray.from_buffers(
+                    k, pa.py_buffer(offs.tobytes()), pa.py_buffer(dbytes.tobytes())))
+                ks.append(k)
+        if not docs_l:
+            return
+        denc = pc.dictionary_encode(pa.chunked_array(dict_chunks).combine_chunks())
+        gidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gterms = denc.dictionary
+        base = np.concatenate([[0], np.cumsum(ks)[:-1]]).astype(np.int64)
+        gcodes = np.concatenate([gidx[b + c] for b, c in zip(base, codes_l)])
+        docs = np.concatenate(docs_l)
+        pos = np.concatenate(pos_l).astype(np.int64)
+        order = np.lexsort((pos, docs, gcodes))
+        docs, pos, gcodes = docs[order], pos[order], gcodes[order]
+        salts = docs >> salt_shift
+        chg = np.flatnonzero((gcodes[1:] != gcodes[:-1]) | (salts[1:] != salts[:-1])) + 1
+        heads = np.concatenate([[0], chg]).astype(np.int64)
+        n_rows = docs.size
+        for lo in range(0, heads.size, groups_per_batch):
+            hi = min(lo + groups_per_batch, heads.size)
+            row_lo = int(heads[lo])
+            row_hi = int(heads[hi]) if hi < heads.size else n_rows
+            payloads, nd = encode_positions_groups(
+                docs[row_lo:row_hi], pos[row_lo:row_hi], heads[lo:hi] - row_lo)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    gterms.take(pa.array(gcodes[heads[lo:hi]])),
+                    pa.array(salts[heads[lo:hi]]),
+                    pa.array(np.asarray(nd, np.int64)),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                schema=POSITIONS_ARROW_SCHEMA,
+            )
+
+    return encode
+
+
 def make_pack_encoder(block_size: int, salt_shift: int = 16, groups_per_batch: int = 65536):
     """mapInArrow over the bucket-partitioned blobs: parse (np.frombuffer,
     zero-copy), build ONE global term dictionary for the partition via C++

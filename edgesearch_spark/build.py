@@ -165,6 +165,13 @@ class IndexConfig:
     # field_prefix / split_identifiers): positions live in the NORMALIZED
     # stream, the same stream the postings index.
     positions: bool = False
+    # 'pack' (binary-blob shuffle — the postings 'pack' discipline applied
+    # to the positions stage, byte-identical output) | 'sortstream' (the
+    # historical posexplode → row shuffle → mapInPandas path). The row path
+    # ships every token occurrence through the JVM→Python Arrow crossing —
+    # the conversion floor the postings stage removed in round 3 (VERDICT
+    # r7 #1: positions stage 104-148 s vs postings 13-30 s on one corpus).
+    positions_impl: str = "pack"
 
 
 @dataclass
@@ -697,28 +704,56 @@ def build_index(
     # concatenation, the scan prunes on the range-sorted term column, and
     # the skew cap (2^salt_shift docs per shard) carries over.
     if cfg.positions and not stage("positions"):
-        from .tokenizer import norm_tokens_col
-
         t0 = time.monotonic()
         pdocs = spark.read.parquet(docs_path)
         if cfg.split_identifiers:
             from .functions.code import identifier_marked_col
 
             pdocs = pdocs.withColumn(content_col, identifier_marked_col(content_col))
-        ts = norm_tokens_col(content_col, cfg.word_map, cfg.field_prefix)
-        pos_rows = pdocs.select(
-            "doc_id", F.posexplode(ts).alias("pos", "term")
-        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
-        stream = pos_rows.repartition(
-            4 * n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
-        ).sortWithinPartitions("term", "doc_id", "pos")
+        if cfg.positions_impl == "pack":
+            # binary-blob shuffle (the postings 'pack' discipline): the
+            # tokenizer pre-packs each (hash(term), salt)-bucket of a batch
+            # into one blob, the shuffle and both Arrow crossings move
+            # thousands of binary rows instead of one row per token
+            # occurrence, and the encoder sorts in numpy — the JVM never
+            # row-converts the position stream (VERDICT r7 #1; byte-
+            # identical output, tests/test_positions.py)
+            from .arrow_pipeline import make_pos_pack_encoder, tokenize_pos_pack_arrow
+
+            packed = tokenize_pos_pack_arrow(
+                pdocs, doc_id_col="doc_id", content_col=content_col,
+                n_buckets=16 * n_part, salt_shift=cfg.salt_shift,
+                word_map=cfg.word_map, field_prefix=cfg.field_prefix,
+            )
+            enc = packed.repartition(4 * n_part, "bucket").mapInArrow(
+                make_pos_pack_encoder(cfg.salt_shift), schema=POSITIONS_SCHEMA)
+        else:
+            from .tokenizer import norm_tokens_col
+
+            ts = norm_tokens_col(content_col, cfg.word_map, cfg.field_prefix)
+            pos_rows = pdocs.select(
+                "doc_id", F.posexplode(ts).alias("pos", "term")
+            ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+            stream = pos_rows.repartition(
+                4 * n_part, "term", F.shiftright(F.col("doc_id"), cfg.salt_shift)
+            ).sortWithinPartitions("term", "doc_id", "pos")
+            enc = stream.mapInPandas(make_positions_encoder(cfg.salt_shift),
+                                     schema=POSITIONS_SCHEMA)
         positions_path = os.path.join(out_dir, "positions")
-        (stream.mapInPandas(make_positions_encoder(cfg.salt_shift),
-                            schema=POSITIONS_SCHEMA)
-               .repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
-               .write.mode("overwrite")
-               .option("parquet.block.size", cfg.target_rowgroup_bytes)
-               .parquet(positions_path))
+        # persist before the range write: repartitionByRange's boundary-
+        # sampling pass re-executes the whole tokenize→shuffle→encode
+        # pipeline a SECOND time otherwise (the postings stage has carried
+        # this guard since round 3; the positions stage was paying the
+        # double run — half its round-7 wall time was the sampling rerun)
+        from pyspark import StorageLevel
+
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+        enc.count()  # materialize ahead of boundary sampling
+        (enc.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+            .write.mode("overwrite")
+            .option("parquet.block.size", cfg.target_rowgroup_bytes)
+            .parquet(positions_path))
+        enc.unpersist()
         agg = spark.read.parquet(positions_path).agg(
             F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
             F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]

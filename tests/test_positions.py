@@ -280,3 +280,38 @@ def test_positional_phrase_plan_never_touches_docs_store(spark, pos_index):
     # and the sidecar scan is pruned by the term filter (pushdown reaches
     # the parquet source)
     assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_positions_pack_impl_byte_identical(spark, tmp_path_factory):
+    """The 'pack' (blob-shuffle) positions path produces the SAME sidecar
+    table row-for-row and payload-byte-for-byte as the historical
+    posexplode/row-shuffle path — on a corpus mixing ascii/unicode content,
+    a word_map, a field_prefix, and multiple salt shards (the exact
+    normalization+position interactions the pack tokenizer reimplements)."""
+    rng = random.Random(17)
+    rows = []
+    for i in range(160):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(3, 30))]
+        if i % 5 == 0:
+            words.insert(rng.randint(0, len(words)), "ms")  # word_map hit
+        if i % 11 == 0:
+            words.insert(rng.randint(0, len(words)), "naïve-Grüße")  # unicode row
+        if i % 13 == 0:
+            words.append("x" * 300)  # overlong run: dropped, shifts positions
+        rows.append(("r", f"p{i:03d}", "c", "py", " ".join(words)))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    base = tmp_path_factory.mktemp("pospack")
+    outs = {}
+    for impl in ("pack", "sortstream"):
+        out = str(base / impl)
+        build_index(spark, corpus, out,
+                    IndexConfig(block_size=16, salt_shift=5, positions=True,
+                                positions_impl=impl,
+                                word_map={"ms": "microsoft"}, field_prefix="body"),
+                    order_cols=("repo", "path", "commit"))
+        outs[impl] = sorted(
+            (r["term"], int(r["salt"]), int(r["df"]), bytes(r["payload"]).hex())
+            for r in spark.read.parquet(out + "/positions").collect())
+    assert outs["pack"] == outs["sortstream"]
+    assert len(outs["pack"]) > 0
