@@ -1240,7 +1240,11 @@ class SearchEngine:
             hits = hits.withColumn("partial", F.lit(0.0))
             score_agg = F.sum("partial").alias("score")
         per_doc = hits.groupBy("doc_id").agg(
-            F.countDistinct(F.when(F.col("is_r"), F.col("term"))).alias("req_hit"),
+            # decoded rows are unique per (term, doc) — shards are docID-
+            # disjoint and tmeta has one row per term — so the distinct
+            # require count is a plain conditional sum; countDistinct
+            # planned an extra two-phase distinct aggregation pass
+            F.sum(F.col("is_r").cast("int")).alias("req_hit"),
             F.max(F.col("is_c").cast("int")).alias("con_hit"),
             F.max(F.col("is_e").cast("int")).alias("exc_hit"),
             score_agg,
