@@ -1229,16 +1229,29 @@ class SearchEngine:
             )
             w = F.col("tf") / (F.col("tf") + knorm)
             hits = hits.join(self._doclens_df(), "doc_id").withColumn(
-                "partial",
-                F.when(F.col("is_s"), F.struct(F.col("ord"), (F.col("c") * w).alias("p"))),
+                "p", F.when(F.col("is_s"), F.col("c") * w),
             )
-            score_agg = F.aggregate(
-                F.array_sort(F.collect_list("partial")),
-                F.lit(0.0), lambda acc, x: acc + x["p"],
+            # Caller-term-order fold as NESTED CONDITIONAL SUMS: each
+            # (doc, ord) has at most ONE row (decoded rows unique per
+            # (term, doc), ord unique per term), so sum(when(ord==i, p)) is
+            # order-independent, and chaining the per-ord results
+            # ((0+p0)+p1)+… replays _score_docs' float64 operation order
+            # exactly — a missing term contributes literal 0.0, and
+            # x + 0.0 == x bitwise for the non-negative partials, so the
+            # result is bit-identical to the kernel (tested). This replaces
+            # a collect_list + array_sort + lambda-aggregate fold that cost
+            # ~1 s/query on a df≈N term (ObjectHashAggregate + per-group
+            # array machinery vs plain codegen'd HashAggregate).
+            from functools import reduce
+
+            score_agg = reduce(
+                lambda acc, i: acc + F.coalesce(
+                    F.sum(F.when(F.col("ord") == i, F.col("p"))), F.lit(0.0)),
+                range(len(score_order)), F.lit(0.0),
             ).alias("score")
         else:
-            hits = hits.withColumn("partial", F.lit(0.0))
-            score_agg = F.sum("partial").alias("score")
+            hits = hits.withColumn("p", F.lit(0.0))
+            score_agg = F.sum("p").alias("score")
         per_doc = hits.groupBy("doc_id").agg(
             # decoded rows are unique per (term, doc) — shards are docID-
             # disjoint and tmeta has one row per term — so the distinct

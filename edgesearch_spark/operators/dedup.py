@@ -36,33 +36,54 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct n-token shingles per doc: (doc_id, shingle).
+def _shingle_parts(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(toks frame filtered to ≥n tokens, shingle-array expression) — the
+    shared pieces of the shingle operators. The expression is handed to
+    callers UNPROJECTED on purpose: `explode(<expr>)` inline in one select
+    keeps the whole-stage-codegen Generate fast, while projecting the
+    array into a column first and exploding the attribute measured 11×
+    slower on this Spark (91.8 s vs 8.3 s for the same 2.6M-shingle
+    stream — the Generate-over-attribute path re-copies the child array).
 
-    Parallelism is pinned explicitly because the downstream consumers hang
-    num_hashes hash expressions on these rows and AQE coalesces by DATA
-    size, blind to compute intensity — a small-file corpus otherwise runs
-    16 md5s/shingle on ~4 tasks (measured 4.9 s → 2.4 s at sf0.1). The
-    fixed-N repartition on the distinct keys both survives AQE coalescing
-    and already satisfies the dropDuplicates clustering (no second
-    exchange). Undersplit inputs (fewer partitions than cores — the
-    small-file case; a 100 TB table is never undersplit, so the content
-    shuffle never happens at scale) are spread before the tokenize."""
+    Undersplit inputs (fewer partitions than cores — the small-file case;
+    a 100 TB table is never undersplit, so this content shuffle never
+    happens at scale) are spread before the tokenize so the shingle and
+    hash expressions run at full parallelism."""
     P = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < P:
         df = df.repartition(P)
     toks = df.select(F.col(id_col).alias("doc_id"), _tokens_col(text_col).alias("ts"))
-    sh = toks.filter(F.size("ts") >= n).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - n),
-                lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n)),
-            )
-        ).alias("shingle"),
+    shs = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n)),
     )
-    return (sh.repartition(P, "doc_id", "shingle")
-            .dropDuplicates(["doc_id", "shingle"]))
+    return toks.filter(F.size("ts") >= n), shs
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+              distinct: bool = True) -> DataFrame:
+    """Per-doc n-token shingles: (doc_id, shingle); ``distinct`` dedupes
+    per doc through the historical repartition + dropDuplicates.
+
+    That exchange+aggregate pair looks removable (array_distinct in the
+    generator expression dedupes map-side for free) but is LOAD-BEARING
+    for consumers that hang a broadcast-join side or probe on these rows:
+    AQE's OptimizeShuffleWithLocalRead collapses a bare round-robin
+    repartition feeding a broadcast exchange / BHJ probe back into LOCAL
+    reads of the map outputs — on a small-file corpus that is the SCAN's
+    2 splits, and the tokenize+explode+join compute then runs 2-way
+    (measured: the Jaccard self-join went 17-35 s → 110-180 s at sf1.0
+    when the dedup pair was dropped). The aggregate's clustering
+    requirement is what pins real 32-way distribution. Consumers with
+    their own shuffle directly above the stream (MinHash's groupBy) don't
+    need the pin and pass ``distinct=False`` for the map-side stream."""
+    toks, shs = _shingle_parts(df, id_col, text_col, n)
+    sh = toks.select("doc_id", F.explode(shs).alias("shingle"))
+    if distinct:
+        P = df.sparkSession.sparkContext.defaultParallelism
+        sh = (sh.repartition(P, "doc_id", "shingle")
+              .dropDuplicates(["doc_id", "shingle"]))
+    return sh
 
 
 def shingle_jaccard_pairs(
@@ -105,8 +126,15 @@ def _minhash_wide(
     are bit-identical to the historical exploded formulation: md5 family =
     md5(j ‖ ':' ‖ shingle) with two disjoint 56-bit hex windows per digest
     (seed 2j = chars 1-14, seed 2j+1 = chars 16-29), xx family =
-    xxhash64(seed, shingle)."""
-    sh = _shingles(df, id_col, text_col, n)
+    xxhash64(seed, shingle).
+
+    The shingle stream is NOT deduped: min() is idempotent, so duplicate
+    shingles cannot change any signature value, and skipping the per-doc
+    array_distinct saves its map-side pass (the repeated-shingle hash
+    surplus is a few percent of the hash work). Rows stay in their scan
+    partition, so the groupBy collapses map-side to one wide row per doc
+    and the only shuffle moves n_docs rows."""
+    sh = _shingles(df, id_col, text_col, n, distinct=False)
     if family == "xx":
         # production family: one JVM xxhash64 per (shingle, seed) — no
         # crypto, ~an order of magnitude cheaper than md5, NOT DuckDB-
