@@ -395,12 +395,16 @@ def build_index(
             docs = assign_doc_ids(corpus, order_cols, num_partitions=n_part)
         cache = getattr(docs, "_docid_cache", None)
         docs = docs.withColumn("sha256", F.sha2(F.col(content_col), 256))
-        # Explicit range repartition: AQE would otherwise coalesce the docID
-        # window exchange down to a handful of partitions on small inputs,
-        # and every later stage that scans docs would inherit that starved
-        # parallelism (measured: 6 of 32 cores busy in tokenize). The
-        # explicit N is respected by AQE and guarantees n_part range-sorted
-        # files.
+        # Layout: n_part range-sorted files. assign_doc_ids' output is
+        # ALREADY docID-range-partitioned (partition p is the contiguous
+        # block [base_p, base_p+cnt_p) by the prefix-sum construction) and
+        # sorted within, so the order_cols path skips the explicit
+        # repartitionByRange — that was a third full shuffle of the
+        # content bytes for a layout the data already had (the
+        # sortWithinPartitions stays as a cheap already-sorted pass and
+        # layout guard). A user-supplied doc_id column has arbitrary
+        # layout and keeps the explicit range shuffle (which AQE respects,
+        # so small inputs still get n_part files, not a coalesced handful).
         # the docID invariant check rides the WRITE itself (Observation —
         # aggregates computed as rows stream to parquet), so the store is
         # never re-scanned just to validate: the engine's norms cache and
@@ -410,13 +414,16 @@ def build_index(
         # (1% rsd — exact would be a shuffle).
         from pyspark.sql import Observation
 
+        if doc_id_col is None:  # assign_doc_ids output: already range-laid-out
+            layout = docs.sortWithinPartitions("doc_id")
+        else:
+            layout = docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
         obs = Observation("docid_invariants")
-        (docs.repartitionByRange(n_part, "doc_id").sortWithinPartitions("doc_id")
-             .observe(obs,
-                      F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
-                      F.max("doc_id").alias("hi"),
-                      F.approx_count_distinct("doc_id", 0.01).alias("nd"))
-             .write.mode("overwrite").parquet(docs_path))
+        (layout.observe(obs,
+                        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"),
+                        F.max("doc_id").alias("hi"),
+                        F.approx_count_distinct("doc_id", 0.01).alias("nd"))
+               .write.mode("overwrite").parquet(docs_path))
         if cache is not None:
             cache.unpersist()
         chk = obs.get
@@ -485,12 +492,13 @@ def build_index(
         # a literal can hide outside the dictionary)
         (docs_df.select("doc_id", doc_length_col(content_col).alias("dl"),
                         ol.cast("int").alias("ol"))
-                .observe(obs, F.max("ol").alias("ol"))
+                .observe(obs, F.max("ol").alias("ol"),
+                         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens"))
                 .write.mode("overwrite").parquet(doclens_path))
-        tot = spark.read.parquet(doclens_path).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tokens")).collect()[0]
-        n_docs = int(tot["n"] or 0)
-        total_tokens = int(tot["tokens"] or 0)
+        # N / total tokens ride the write Observation — no read-back job
+        got = obs.get
+        n_docs = int(got["n"] or 0)
+        total_tokens = int(got["tokens"] or 0)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
         stats = {
             "n_docs": n_docs,
@@ -507,9 +515,16 @@ def build_index(
             # a word_map rewrites tokens (ms -> microsoft), so the
             # "every pattern literal survives inside some indexed term"
             # invariant index_regex_search relies on does not hold —
-            # record its use so the engine can route regex to the scan
-            "word_map": bool(cfg.word_map),
-            "has_overlong_runs": bool(obs.get["ol"] or 0),
+            # record the MAP ITSELF (truthiness keeps the regex-routing
+            # checks working) so scan-side fallbacks can rebuild the
+            # normalized token stream (ADVICE r7: the per-segment
+            # positional fallback was rebuilding the RAW stream, silently
+            # dropping matches on normalized mixed-coverage builds).
+            # False (not {}) when unset, preserving the old falsy shape.
+            "word_map": dict(cfg.word_map) if cfg.word_map else False,
+            "field_prefix": cfg.field_prefix,
+            "content_col": content_col,
+            "has_overlong_runs": bool(got["ol"] or 0),
         }
         tmp = os.path.join(out_dir, "stats.json.tmp")
         with open(tmp, "w") as f:
@@ -626,15 +641,18 @@ def build_index(
         # block metadata arrays add ~29 B/block ≈ payload-order overhead; 1.3×
         bytes_per_row = max(64.0, 1.3 * enc_bytes / max(1, enc_rows))
         max_rec = max(1, int(cfg.target_file_bytes / bytes_per_row))
+        from pyspark.sql import Observation
+
+        pobs = Observation("postings_stats")
         (encoded.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+                .observe(pobs, F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
+                         F.sum(F.octet_length("payload")).alias("bytes"))
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", max_rec)
                 .option("parquet.block.size", cfg.target_rowgroup_bytes)
                 .parquet(postings_path))
         encoded.unpersist()
-        agg = spark.read.parquet(postings_path).agg(
-            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
-            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
+        agg = pobs.get  # stats ride the write — no read-back scan of the table
         dt = time.monotonic() - t0
         m = StageMetrics(
             "postings", int(agg["rows"]), dt,
@@ -662,9 +680,13 @@ def build_index(
                 F.max(F.array_max("block_max_weight")).alias("max_weight"),
             )
         )
+        from pyspark.sql import Observation
+
+        tobs = Observation("terms_count")
         (term_stats.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+                   .observe(tobs, F.count(F.lit(1)).alias("n"))
                    .write.mode("overwrite").parquet(terms_path))
-        n_terms = spark.read.parquet(terms_path).count()
+        n_terms = int(tobs.get["n"] or 0)  # rides the write — no read-back count
         dt = time.monotonic() - t0
         m = StageMetrics("terms", n_terms, dt, {"terms_per_sec": n_terms / dt if dt else None})
         metrics.append(m)
@@ -749,14 +771,17 @@ def build_index(
 
         enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
         enc.count()  # materialize ahead of boundary sampling
+        from pyspark.sql import Observation
+
+        posobs = Observation("positions_stats")
         (enc.repartitionByRange(n_part, "term", "salt").sortWithinPartitions("term", "salt")
+            .observe(posobs, F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
+                     F.sum(F.octet_length("payload")).alias("bytes"))
             .write.mode("overwrite")
             .option("parquet.block.size", cfg.target_rowgroup_bytes)
             .parquet(positions_path))
         enc.unpersist()
-        agg = spark.read.parquet(positions_path).agg(
-            F.count(F.lit(1)).alias("rows"), F.sum("df").alias("postings"),
-            F.sum(F.octet_length("payload")).alias("bytes")).collect()[0]
+        agg = posobs.get  # stats ride the write — no read-back scan
         # engine detects the sidecar from stats.json, never a fs probe
         stats_path = os.path.join(out_dir, "stats.json")
         with open(stats_path) as f:

@@ -13,8 +13,9 @@ Scalable pattern (two cheap passes, no global single-partition stage):
    per partition; ``sortWithinPartitions`` sorts inside each.
 2. Count rows per partition (small aggregate, one row per partition),
    prefix-sum the counts on the driver → per-partition base offset.
-3. Per-partition rank (``row_number`` partitioned by ``spark_partition_id()``
-   — a *partition-local* window, fully parallel) + base offset = global rank.
+3. Per-partition rank (position within the sorted partition, read off
+   ``monotonically_increasing_id``'s low bits — no window, no extra
+   exchange) + base offset = global rank.
 
 The result is invariant to where the range boundaries fall (ranks are
 order-determined, not boundary-determined), so the same input yields the
@@ -25,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -62,14 +63,24 @@ def assign_doc_ids(
         acc += counts[pid]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __base long")
-    # Pass 2: partition-local rank (parallel window) + broadcast-joined base
-    # offset. The offsets table has one row per partition — always broadcastable.
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    # Pass 2: partition-local rank + broadcast-joined base offset. The rank
+    # is the row's POSITION within its (sorted, cached) partition — read
+    # straight off monotonically_increasing_id's low 33 bits instead of a
+    # row_number window: the window's ClusteredDistribution(__pid) is
+    # trivially satisfied (each partition holds exactly one pid) but
+    # Catalyst cannot see that and inserted a full hash(__pid) Exchange +
+    # Sort of the entire corpus — one of three content shuffles in the
+    # docs stage, and pure waste. The id's order matches the window's
+    # (rows stream in sorted partition order from the cache; recomputation
+    # after block loss replays the same deterministic sort). The offsets
+    # table has one row per partition — always broadcastable.
     out = (
-        with_pid.withColumn("__rk", F.row_number().over(w) - 1)
+        with_pid.withColumn(
+            "__rk", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)))
         .join(F.broadcast(off_df), "__pid")
         .withColumn(doc_id_col, (F.col("__base") + F.col("__rk")).cast("long"))
         .drop("__pid", "__rk", "__base")
     )
     out._docid_cache = with_pid  # caller: out._docid_cache.unpersist() when done
+    out._docid_range_partitioned = True  # partition p == docID range [base_p, base_p+cnt_p)
     return out

@@ -43,7 +43,7 @@ def identifier_marked_col(content_col: str) -> Column:
     for every tokenizer impl, so downstream split/lower yields subtokens).
     This is what ``IndexConfig(split_identifiers=True)`` feeds the build's
     tokenize stages while the docs store keeps the ORIGINAL content."""
-    c = F.col(content_col)
+    c = content_col if isinstance(content_col, Column) else F.col(content_col)
     for pat in _BOUNDARIES:
         c = F.regexp_replace(c, pat, r"$1\$$2")  # '$' never survives the split
     return c

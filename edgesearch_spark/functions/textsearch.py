@@ -494,6 +494,36 @@ def _position_arrays(engine, terms: list[str]):
     return distinct, joined, uncov
 
 
+def _indexed_tokens_col(engine, content_col: str) -> Column:
+    """The kept-token stream column matching what the index TOKENIZED —
+    normalization applied from the build-recorded stats (word_map /
+    field_prefix / split_identifiers), content column preferred from
+    stats when recorded. Scan-side fallbacks that rebuild positions MUST
+    use this instead of the raw ``_tokens_col``: on a normalized build the
+    sidecar/postings hold normalized terms, and a raw rebuilt stream never
+    matches them — candidates silently drop (ADVICE r7 high).
+
+    Raises on an index whose stats predate word_map storage (the flag is
+    the literal ``True``): the map is unrecoverable, so a sound rebuild is
+    impossible — fail loud rather than return silently wrong results."""
+    from ..tokenizer import norm_tokens_col
+
+    st = engine.stats
+    wm = st.get("word_map") or None
+    if wm is not None and not isinstance(wm, dict):
+        raise ValueError(
+            "index stats record word_map=True without the map itself (built "
+            "by an older version) — the scan-side positional fallback cannot "
+            "rebuild the normalized token stream; rebuild the index")
+    cc = st.get("content_col") or content_col
+    base = F.col(cc)
+    if st.get("split_identifiers"):
+        from .code import identifier_marked_col
+
+        base = identifier_marked_col(base)
+    return norm_tokens_col(base, wm, st.get("field_prefix") or None)
+
+
 def _positions_fallback(engine, uncov_posts: DataFrame, distinct: list[str],
                         cond: Column, content_col: str) -> DataFrame:
     """AND+verify twin for index regions lacking the positional sidecar:
@@ -510,7 +540,7 @@ def _positions_fallback(engine, uncov_posts: DataFrame, distinct: list[str],
              .agg(F.countDistinct("term").alias("nc"))
              .filter(F.col("nc") == len(distinct)).select("doc_id"))
     fetched = engine.fetch_docs_df(cands).withColumn(
-        "__ts", _tokens_col(content_col))
+        "__ts", _indexed_tokens_col(engine, content_col))
     for i, t in enumerate(distinct):
         # the HOF lambda is evaluated eagerly by F.transform, so capturing
         # the loop variable directly is safe (same shape as near_search)

@@ -39,6 +39,13 @@ QUERIES_SCHEMA = "query_id string, require array<string>, contain array<string>,
 # cluster as one giant expression). The bounded probe below collects at most
 # threshold+1 strings to the driver REGARDLESS of query-table size.
 ISIN_MAX_TERMS = 1024
+# Above this many distinct terms the semi-join's F.broadcast hint is dropped
+# (ADVICE r7): a forced broadcast has no size fallback, so a dictionary-scale
+# vocabulary (multi-million terms ≈ 10^2 MB framed) would blow the driver /
+# broadcast limit instead of letting AQE pick a shuffle semi-join. At the
+# default the hinted broadcast stays ≤ ~25 MB. The probe is a bounded
+# limit(N+1).count() — never a collect.
+BROADCAST_MAX_TERMS = 1_000_000
 
 
 def _vocab_sample(vocab: DataFrame, threshold: int) -> list | None:
@@ -53,8 +60,15 @@ def _vocab_sample(vocab: DataFrame, threshold: int) -> list | None:
     return None
 
 
+def _vocab_fits_broadcast(vocab: DataFrame) -> bool:
+    """Bounded probe: True when the distinct vocabulary is small enough to
+    force-broadcast (≤ BROADCAST_MAX_TERMS). One limit+count job, driver
+    memory O(1)."""
+    return vocab.limit(BROADCAST_MAX_TERMS + 1).count() <= BROADCAST_MAX_TERMS
+
+
 def _prune_terms(table: DataFrame, vocab: DataFrame,
-                 sample: list | None) -> DataFrame:
+                 sample: list | None, broadcast_ok: bool = True) -> DataFrame:
     """Prune a ``term``-keyed scan to the query vocabulary.
 
     Small vocabularies (``sample`` from _vocab_sample) use isin — a pushed
@@ -64,12 +78,14 @@ def _prune_terms(table: DataFrame, vocab: DataFrame,
     never the query-table row count), the scan side never collects, and the
     plan carries no literal In-list (VERDICT r6 #1 — at 10^6 queries an
     In-list is a driver/plan-size explosion). When the vocabulary itself
-    approaches dictionary scale the prune buys nothing but still costs only
-    one dictionary-sized broadcast — the join result is what downstream
-    needs anyway."""
+    approaches dictionary scale (``broadcast_ok=False``, from the bounded
+    _vocab_fits_broadcast probe) the hint is DROPPED so AQE can fall back
+    to a shuffle semi-join instead of an unbounded forced broadcast
+    (ADVICE r7)."""
     if sample is not None:
         return table.filter(F.col("term").isin(sample))
-    return table.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+    voc = vocab.select("term")
+    return table.join(F.broadcast(voc) if broadcast_ok else voc, "term", "left_semi")
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -150,8 +166,9 @@ def batch_search(
     qt = _query_terms(queries)
     vocab = qt.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
+    bcast = True if sample is not None else _vocab_fits_broadcast(vocab)
 
-    ts = _prune_terms(ts_raw, vocab, sample).select("term", "df")
+    ts = _prune_terms(ts_raw, vocab, sample, bcast).select("term", "df")
     if eng is not None:
         # multi-segment unions carry one term_stats row PER SEGMENT; the
         # query-side df is their sum (identical to engine.fetch_terms)
@@ -170,13 +187,14 @@ def batch_search(
     )
 
     if eng is not None:
-        posts = (_prune_terms(posts_raw, vocab, sample)
+        posts = (_prune_terms(posts_raw, vocab, sample, bcast)
                  .select("term", "block_first_doc", "block_max_doc",
                          "block_count", "block_offset", "block_kind", "payload")
                  .mapInPandas(_decode_rows, schema=DECODED_SCHEMA))
     else:
         posts = decoded_postings(spark, index_dir, terms=sample,
-                                 vocab=None if sample is not None else vocab)
+                                 vocab=None if sample is not None else vocab,
+                                 broadcast_vocab=bcast)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     hits = posts.join(qt.select("query_id", "term", "is_r", "is_c", "is_e", "df", "ord"), "term")
 
@@ -260,7 +278,8 @@ def batch_search(
 
 
 def _batch_position_structs(engine, qterms: DataFrame, vocab: DataFrame,
-                            sample: list | None) -> DataFrame:
+                            sample: list | None,
+                            broadcast_ok: bool = True) -> DataFrame:
     """(query_id, doc_id, sl: array<struct<slot int, positions array<long>>>)
     — per-query-slot kept-token position arrays for every doc holding at
     least one of the query's terms, the shared candidate frame of the batch
@@ -281,7 +300,7 @@ def _batch_position_structs(engine, qterms: DataFrame, vocab: DataFrame,
         raise ValueError("index has no positional sidecar (IndexConfig.positions)")
     from ..sources.postings import POS_DECODED_SCHEMA, _decode_pos_rows
 
-    pruned = (_prune_terms(pt, vocab, sample)
+    pruned = (_prune_terms(pt, vocab, sample, broadcast_ok)
               .select("term", "salt", "df", "payload")
               # spread hot terms' salt shards across decode tasks (the
               # range-sorted layout packs a term's shards into one scan
@@ -293,10 +312,10 @@ def _batch_position_structs(engine, qterms: DataFrame, vocab: DataFrame,
     sl = hits.groupBy("query_id", "doc_id").agg(
         F.collect_list(F.struct("slot", "positions")).alias("sl"))
     if uncov is not None:
+        from ..functions.textsearch import _indexed_tokens_col
         from ..sources.postings import DECODED_SCHEMA, _decode_rows
-        from ..tokenizer import _tokens_col
 
-        udec = (_prune_terms(uncov, vocab, sample)
+        udec = (_prune_terms(uncov, vocab, sample, broadcast_ok)
                 .select("term", "block_first_doc", "block_max_doc",
                         "block_count", "block_offset", "block_kind", "payload")
                 .repartition(F.col("term"), F.col("block_first_doc"))
@@ -311,7 +330,7 @@ def _batch_position_structs(engine, qterms: DataFrame, vocab: DataFrame,
                  .select("query_id", "doc_id"))
         fetched = engine.fetch_docs_df(
             pairs.select("doc_id").distinct()).select(
-            "doc_id", _tokens_col("content").alias("__dts"))
+            "doc_id", _indexed_tokens_col(engine, "content").alias("__dts"))
         slots = (pairs.join(qterms, "query_id")
                  .join(fetched, "doc_id")
                  .select(
@@ -376,7 +395,8 @@ def batch_phrase_search(engine, phrases: DataFrame,
 
     vocab = qterms.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
-    sl = _batch_position_structs(engine, qterms, vocab, sample)
+    bcast = True if sample is not None else _vocab_fits_broadcast(vocab)
+    sl = _batch_position_structs(engine, qterms, vocab, sample, bcast)
     sl = sl.join(qlen, "query_id")
 
     head = F.flatten(F.transform(
@@ -426,7 +446,8 @@ def batch_near_search(engine, queries: DataFrame, terms_col: str = "terms",
 
     vocab = qterms.select("term").distinct()
     sample = _vocab_sample(vocab, ISIN_MAX_TERMS)
-    sl = _batch_position_structs(engine, qterms, vocab, sample)
+    bcast = True if sample is not None else _vocab_fits_broadcast(vocab)
+    sl = _batch_position_structs(engine, qterms, vocab, sample, bcast)
     sl = sl.join(qmeta, "query_id")
 
     cond = F.exists(

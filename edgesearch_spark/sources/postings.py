@@ -101,7 +101,8 @@ def _decode_pos_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | None = None,
-                     vocab: DataFrame | None = None) -> DataFrame:
+                     vocab: DataFrame | None = None,
+                     broadcast_vocab: bool = True) -> DataFrame:
     """(term, doc_id, tf) rows. Pass ``terms`` (a small driver list) to prune
     the scan with a pushed In-filter, or ``vocab`` (a 1-column ``term``
     DataFrame of any cardinality) to prune with a broadcast semi-join — the
@@ -111,6 +112,10 @@ def decoded_postings(spark: SparkSession, index_dir: str, terms: list[str] | Non
     if terms is not None:
         pt = pt.filter(F.col("term").isin(list(terms)))
     elif vocab is not None:
-        pt = pt.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+        # broadcast_vocab=False drops the hint for dictionary-scale
+        # vocabularies (ADVICE r7): a forced broadcast has no size
+        # fallback; AQE then picks a shuffle semi-join
+        voc = vocab.select("term")
+        pt = pt.join(F.broadcast(voc) if broadcast_vocab else voc, "term", "left_semi")
     cols = pt.select("term", "block_first_doc", "block_max_doc", "block_count", "block_offset", "block_kind", "payload")
     return cols.mapInPandas(_decode_rows, schema=DECODED_SCHEMA)

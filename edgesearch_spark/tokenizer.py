@@ -36,13 +36,14 @@ MAX_TERM_BYTES = 255  # reference serializes term length as u8 (src/build/chunks
 PAIRS_SCHEMA = "doc_id long, term string, tf long, dl long"
 
 
-def _tokens_col(content_col: str) -> F.Column:
-    toks = F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE)
+def _tokens_col(content_col) -> F.Column:
+    c = content_col if isinstance(content_col, F.Column) else F.col(content_col)
+    toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
     return F.filter(toks, lambda t: (t != F.lit("")) & (F.octet_length(t) <= MAX_TERM_BYTES))
 
 
 def norm_tokens_col(
-    content_col: str,
+    content_col,
     word_map: dict[str, str] | None = None,
     field_prefix: str | None = None,
 ) -> F.Column:

@@ -315,3 +315,44 @@ def test_positions_pack_impl_byte_identical(spark, tmp_path_factory):
             for r in spark.read.parquet(out + "/positions").collect())
     assert outs["pack"] == outs["sortstream"]
     assert len(outs["pack"]) > 0
+
+
+def test_positions_fallback_normalized_mixed_coverage(spark, tmp_path_factory):
+    """ADVICE r7 high: the per-segment scan-side fallback must rebuild the
+    NORMALIZED token stream (word_map + split_identifiers recorded in
+    stats), or uncovered-segment matches silently vanish on normalized
+    mixed-coverage builds. Compare a mixed-coverage engine against a
+    full-coverage engine over the same corpus — equality proves the
+    fallback branch serves the normalized stream."""
+    from edgesearch_spark.functions.textsearch import index_phrase_slop
+    from edgesearch_spark.streaming.incremental import IncrementalIndexer
+
+    rows = [("r", f"p{i:03d}", "c", "py",
+             f"the getUserName helper returns ms userName value {i}")
+            for i in range(60)]
+    rows += [("r", f"q{i:03d}", "c", "py", f"unrelated filler text {i}")
+             for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    cfg = dict(block_size=16, salt_shift=7, word_map={"ms": "microsoft"},
+               split_identifiers=True)
+    engines = {}
+    for mode in ("mixed", "full"):
+        root = str(tmp_path_factory.mktemp(f"posnorm_{mode}"))
+        idx = IncrementalIndexer(
+            spark, root, IndexConfig(positions=(mode == "full"), **cfg),
+            order_cols=("path",), content_col="content")
+        idx.ingest_batch(df.filter(F.col("path") < "p030"), 0)
+        idx.cfg = IndexConfig(positions=True, **cfg)
+        idx.ingest_batch(df.filter((F.col("path") >= "p030") | (F.col("path") >= "q")), 1)
+        engines[mode] = idx.engine()
+    assert engines["mixed"].positions_plan()[1] is not None  # genuinely mixed
+    assert engines["full"].positions_plan()[1] is None
+    for surface in (
+        lambda e: index_phrase_search_positions(e, "user name"),
+        lambda e: index_near_search(e, ["microsoft", "name"], 6),
+        lambda e: index_phrase_slop(e, "get name", 2),
+    ):
+        got = sorted(r["doc_id"] for r in surface(engines["mixed"]).collect())
+        want = sorted(r["doc_id"] for r in surface(engines["full"]).collect())
+        assert got == want and got, (got[:5], want[:5])

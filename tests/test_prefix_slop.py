@@ -240,3 +240,40 @@ def test_prefix_and_slop_multisegment_deletes(spark, tmp_path_factory):
         r["doc_id"] for r in index_prefix_search(live, "util").collect())
     assert victims[1] not in set(
         r["doc_id"] for r in index_phrase_slop(live, "alpha gamma", 2).collect())
+
+
+def test_prefix_scan_twin_unicode_parity(spark, tmp_path_factory):
+    """VERDICT r7 #3 done-criterion: scan-side prefix_search == index path
+    on a corpus with case-fold traps — U+212A KELVIN SIGN (lowers INTO
+    'k') and U+0130 dotted capital I (lowers to 'i' + combining dot,
+    CREATING a boundary). No code change was needed: the precheck's
+    boundary class evaluates over the SAME lower(content) string the
+    tokenizer splits, and split boundaries [^a-zA-Z0-9] are a subset of
+    the precheck's [^a-z0-9], so the precheck is necessary-by-construction
+    for any fold direction. This test pins that argument."""
+    from edgesearch_spark.build import IndexConfig, build_index
+    from edgesearch_spark.engine import SearchEngine
+    from edgesearch_spark.functions.textsearch import (
+        index_prefix_search,
+        prefix_search,
+    )
+
+    rows = [
+        ("r", "p0", "c", "py", "plain util tokens here"),
+        ("r", "p1", "c", "py", "xKutil merged kelvin run"),
+        ("r", "p2", "c", "py", "Xİutil dotted capital I"),
+        ("r", "p3", "c", "py", "Kelvin leading kelvin fold"),
+        ("r", "p4", "c", "py", "straße umlaut Ütil thing"),
+        ("r", "p5", "c", "py", "nothing relevant at all"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    out = str(tmp_path_factory.mktemp("uniprefix") / "idx")
+    build_index(spark, corpus, out, IndexConfig(block_size=16, salt_shift=5),
+                order_cols=("repo", "path", "commit"))
+    eng = SearchEngine(spark, out)
+    docs = spark.read.parquet(out + "/docs")
+    for p in ("util", "kelvin", "xku", "iu", "til", "stra"):
+        a = sorted(r["doc_id"] for r in prefix_search(docs, p).collect())
+        b = sorted(r["doc_id"] for r in index_prefix_search(eng, p).collect())
+        assert a == b, (p, a, b)

@@ -241,7 +241,9 @@ def test_index_regex_unsound_index_routes_to_scan(spark, tmp_path_factory):
                 IndexConfig(word_map={"msdn": "microsoft"}, postings_impl="pack"),
                 doc_id_col="doc_id", content_col="content")
     eng2 = SearchEngine(spark, out2)
-    assert eng2.stats["word_map"] is True
+    # stats now record the MAP ITSELF (r8: scan-side positional fallbacks
+    # rebuild the normalized stream from it); truthiness is unchanged
+    assert eng2.stats["word_map"] == {"msdn": "microsoft"}
     got2 = sorted(r["doc_id"] for r in
                   index_regex_search(eng2, r"msdn doc\w*").collect())
     assert got2 == [2]
