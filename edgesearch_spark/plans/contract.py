@@ -36,7 +36,21 @@ TOKEN_RE_SQL = "[^a-z0-9]+"
 # ---------- shared building blocks (Spark side) ----------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The documents table, spread to full parallelism when undersplit.
+
+    The driver's documents.parquet is ONE small file at every SF (5.7 MB
+    even at sf1.0), so the default 128 MB split size hands every
+    scan-side operator — tokenize, phrase zip, regex, shingles, per-term
+    tf — TWO input partitions and 2 of 32 cores do all the work (guide
+    §6.1/§2.5 input-skew case; the build pipeline solves the same problem
+    with _tune_split_size). The round-robin spread costs one tiny shuffle
+    of the 6 MB table and is row-identical; a 100 TB table arrives in
+    thousands of splits and never takes this branch."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    P = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < P:
+        df = df.repartition(P)
+    return df
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
