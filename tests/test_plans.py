@@ -48,11 +48,17 @@ def test_column_pruning_at_scan(spark, index_dir):
     assert read_schema and "content" not in read_schema[0], plan
 
 
-def test_bm25_df_join_broadcasts(spark):
+def test_bm25_topk_plan_is_joinless_single_pass(spark):
+    """r8 rewrite: per-term tf/df come from anchored regexp_counts and
+    driver-literal idfs — the plan must carry NO join of any kind (the old
+    shape's broadcast df join is gone entirely), no groupBy exchange, and
+    finish with a TakeOrderedAndProject (never a global sort)."""
     from edgesearch_spark.plans.contract import q_bm25_topk
 
     plan = plan_of(q_bm25_topk(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_relational_paths_have_no_python_eval(spark):
