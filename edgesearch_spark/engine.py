@@ -1223,35 +1223,21 @@ class SearchEngine:
             "term string, c double, ord int, is_r boolean, is_c boolean, is_e boolean, is_s boolean",
         )
         hits = self._decoded_for(terms).join(F.broadcast(tmeta), "term")
-        if scored:
-            knorm = F.lit(self.k1) * (
-                F.lit(1 - self.b) + (F.lit(self.b) * F.col("dl")) / F.lit(float(self.avgdl))
-            )
-            w = F.col("tf") / (F.col("tf") + knorm)
-            hits = hits.join(self._doclens_df(), "doc_id").withColumn(
-                "p", F.when(F.col("is_s"), F.col("c") * w),
-            )
-            # Caller-term-order fold as NESTED CONDITIONAL SUMS: each
-            # (doc, ord) has at most ONE row (decoded rows unique per
-            # (term, doc), ord unique per term), so sum(when(ord==i, p)) is
-            # order-independent, and chaining the per-ord results
-            # ((0+p0)+p1)+… replays _score_docs' float64 operation order
-            # exactly — a missing term contributes literal 0.0, and
-            # x + 0.0 == x bitwise for the non-negative partials, so the
-            # result is bit-identical to the kernel (tested). This replaces
-            # a collect_list + array_sort + lambda-aggregate fold that cost
-            # ~1 s/query on a df≈N term (ObjectHashAggregate + per-group
-            # array machinery vs plain codegen'd HashAggregate).
-            from functools import reduce
-
-            score_agg = reduce(
-                lambda acc, i: acc + F.coalesce(
-                    F.sum(F.when(F.col("ord") == i, F.col("p"))), F.lit(0.0)),
-                range(len(score_order)), F.lit(0.0),
-            ).alias("score")
-        else:
-            hits = hits.withColumn("p", F.lit(0.0))
-            score_agg = F.sum("p").alias("score")
+        # Caller-term-order fold as NESTED CONDITIONAL SUMS: each
+        # (doc, ord) has at most ONE row (decoded rows unique per
+        # (term, doc), ord unique per term), so sum(when(ord==i, tf)) is
+        # order-independent, and chaining the per-ord results
+        # ((0+p0)+p1)+… replays _score_docs' float64 operation order
+        # exactly — a missing term contributes literal 0.0, and
+        # x + 0.0 == x bitwise for the non-negative partials, so the
+        # result is bit-identical to the kernel (tested). This replaces
+        # a collect_list + array_sort + lambda-aggregate fold that cost
+        # ~1 s/query on a df≈N term (ObjectHashAggregate + per-group
+        # array machinery vs plain codegen'd HashAggregate). Only the raw
+        # per-ord tf crosses the aggregation; the doclens join and the
+        # score arithmetic run AFTER the clause filter, on the (smaller)
+        # matched set — c = idf·(k1+1) is a driver float per term, exactly
+        # the kernel's.
         per_doc = hits.groupBy("doc_id").agg(
             # decoded rows are unique per (term, doc) — shards are docID-
             # disjoint and tmeta has one row per term — so the distinct
@@ -1260,15 +1246,34 @@ class SearchEngine:
             F.sum(F.col("is_r").cast("int")).alias("req_hit"),
             F.max(F.col("is_c").cast("int")).alias("con_hit"),
             F.max(F.col("is_e").cast("int")).alias("exc_hit"),
-            score_agg,
+            *[F.sum(F.when(F.col("ord") == i, F.col("tf"))).alias(f"__tf{i}")
+              for i in range(len(score_order) if scored else 0)],
         )
         if require or contain:
             cond = (F.col("req_hit") == len(require)) & (F.col("exc_hit") == 0)
             if contain:
                 cond = cond & (F.col("con_hit") == 1)
-            return per_doc.filter(cond).select("doc_id", "score")
-        # exclude-only quirk: the excluded union IS the result (wasm/index.c:100-104)
-        return per_doc.filter(F.col("exc_hit") == 1).select("doc_id", "score")
+            matched = per_doc.filter(cond)
+        else:
+            # exclude-only quirk: the excluded union IS the result (wasm/index.c:100-104)
+            matched = per_doc.filter(F.col("exc_hit") == 1)
+        if not scored:
+            return matched.select("doc_id", F.lit(0.0).alias("score"))
+        c_of_ord = {score_order[t]: float(self.idf(tp[t].df)) * (self.k1 + 1)
+                    for t in score_order if tp.get(t) is not None}
+        knorm = F.lit(self.k1) * (
+            F.lit(1 - self.b) + (F.lit(self.b) * F.col("dl")) / F.lit(float(self.avgdl))
+        )
+        score = F.lit(0.0)
+        for i in range(len(score_order)):
+            if i not in c_of_ord:
+                continue  # missing term: no rows, no contribution
+            tfi = F.col(f"__tf{i}")
+            score = score + F.coalesce(
+                F.when(tfi.isNotNull(), F.lit(c_of_ord[i]) * (tfi / (tfi + knorm))),
+                F.lit(0.0))
+        return (matched.join(self._doclens_df(), "doc_id")
+                .select("doc_id", score.alias("score")))
 
     def _single_union_term(self, q: Query, tp: dict):
         """The postings object when the boolean result set is exactly ONE
