@@ -233,11 +233,16 @@ def batch_search(
         F.max(F.col("is_e").cast("int")).alias("exc_hit"),
     ]
     if 0 < maxord <= _MAX_ORD_COLS:
-        ord_aggs = []
-        for i in range(1, maxord + 1):
-            ord_aggs.append(F.sum(F.when(F.col("ord") == i, F.col("tf"))).alias(f"__tf{i}"))
-            ord_aggs.append(F.sum(F.when(F.col("ord") == i, F.col("df"))).alias(f"__df{i}"))
-        per_doc = hits.groupBy("query_id", "doc_id").agg(*base_aggs, *ord_aggs)
+        # only the per-ord tf is a per-DOC quantity; df is constant per
+        # (query, term), so it rides a query-sized frame joined after the
+        # clause filter instead of fattening the 10^7-row per-doc shuffle
+        per_doc = hits.groupBy("query_id", "doc_id").agg(
+            *base_aggs,
+            *[F.sum(F.when(F.col("ord") == i, F.col("tf"))).alias(f"__tf{i}")
+              for i in range(1, maxord + 1)])
+        qdfs = qt.groupBy("query_id").agg(
+            *[F.sum(F.when(F.col("ord") == i, F.col("df"))).alias(f"__df{i}")
+              for i in range(1, maxord + 1)])
     else:
         idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
         w = F.col("tf") * (k1 + 1) / (F.col("tf") + knorm)
@@ -273,15 +278,16 @@ def batch_search(
         # assemble the score on the MATCHED rows: same per-term expression
         # as the fold path (idf from the summed-singleton df, w from the
         # summed-singleton tf), added in ord order with 0.0 identities —
-        # a term absent from a doc leaves its __df null and contributes
+        # a term absent from a doc leaves its __tf null and contributes
         # literal 0.0, exactly like the fold skipping it
-        matched = matched.join(dl, "doc_id")
+        matched = matched.join(qdfs, "query_id").join(dl, "doc_id")
         score = F.lit(0.0)
         for i in range(1, maxord + 1):
             dfi, tfi = F.col(f"__df{i}"), F.col(f"__tf{i}")
             idf_i = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfi + 0.5) / (dfi + 0.5))
             w_i = tfi * (k1 + 1) / (tfi + knorm)
-            score = score + F.coalesce(F.when(dfi.isNotNull(), idf_i * w_i), F.lit(0.0))
+            score = score + F.coalesce(
+                F.when(tfi.isNotNull() & dfi.isNotNull(), idf_i * w_i), F.lit(0.0))
         matched = matched.withColumn("score", score)
 
     order = (F.col("score").desc(), F.col("doc_id").asc()) if scored else (F.col("doc_id").asc(),)
